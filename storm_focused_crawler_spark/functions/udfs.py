@@ -1,0 +1,113 @@
+"""Spark column twins of the §2.1 spec functions.
+
+Design rule (BASELINE.json input_hint: "vectorized pandas/Arrow UDFs,
+no per-row Python"): everything that CAN be expressed JVM-side with
+built-in ``pyspark.sql.functions`` IS — those run inside whole-stage
+codegen and never cross the Python boundary at all, which beats even a
+pandas UDF.  Only URL canonicalization needs Python (query-param
+sorting + percent-normalization have no builtin), and it runs as an
+Arrow-batched pandas UDF with a vectorized already-canonical fast path
+so only the noisy minority of URLs touch the per-element fallback.
+
+Reference counterparts ([R], SURVEY.md §0): URLExpanderBolt
+(canonicalize_udf), ArticleExtractionBolt (extract_text_col /
+extract_links_col), RankerBolt (score_col).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from storm_focused_crawler_spark import spec
+
+# --------------------------------------------------------------------------
+# URL canonicalization — the one genuine pandas UDF
+# --------------------------------------------------------------------------
+
+# already-canonical fast path: lowercase scheme://host, no port, no '%',
+# no '?', no '#', no '.' path segments ('.' in a segment like d1.2 is fine
+# but cheap to be conservative: any '/.' or '/..' occurrence disqualifies).
+_CANON_FAST_RE = r"^https?://[a-z0-9\-]+(\.[a-z0-9\-]+)*/[^?#%\s]*$"
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    fast = urls.str.match(_CANON_FAST_RE, na=False) & ~urls.str.contains(
+        "/.", regex=False
+    ).fillna(False)
+    out = urls.copy()
+    slow = ~fast
+    if slow.any():
+        out[slow] = urls[slow].map(lambda u: spec.canon(u) if u is not None else None)
+    return out
+
+
+def url_hash_col(url: Column) -> Column:
+    """§2.1-2: 64-bit xxhash64(canon_url), seed 42 (Spark default)."""
+    return F.xxhash64(url)
+
+
+def host_col(url: Column) -> Column:
+    """authority = text between '://' and the first '/'."""
+    return F.substring_index(F.substring_index(url, "://", -1), "/", 1)
+
+
+def path_col(url: Column) -> Column:
+    """'/'-prefixed path+query of a canonical url."""
+    rest = F.substring_index(url, "://", -1)
+    return F.substr(rest, F.length(host_col(url)) + F.lit(1))
+
+
+# --------------------------------------------------------------------------
+# Extraction — JVM-side regexp twin of spec.extract_text / extract_links
+# --------------------------------------------------------------------------
+
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#x27;", "'"), ("&amp;", "&")]
+
+
+def extract_text_col(html: Column) -> Column:
+    """Byte-identical twin of spec.extract_text, pure codegen (no Python)."""
+    s = F.regexp_extract(F.decode(html, "UTF-8"), r"(?s)<article>(.*?)</article>", 1)
+    for ent, ch in _ENTITIES:  # &amp; last — same order as spec._unescape
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return s
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Pandas-UDF twin (pluggable-extractor path, e.g. a real boilerpipe
+    port on a cluster with the lib installed); tests lock it to the
+    codegen twin."""
+    return html.map(lambda b: spec.extract_text(b) if b is not None else None)
+
+
+def extract_links_col(html: Column) -> Column:
+    """Outlink hrefs in document order, http(s) only — array<string>."""
+    arr = F.regexp_extract_all(F.decode(html, "UTF-8"), F.lit(r'<a href="([^"]*)"'), F.lit(1))
+    return F.filter(
+        arr,
+        lambda u: u.startswith("http://") | u.startswith("https://"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Relevance score — JVM-side twin of spec.relevance_score
+# --------------------------------------------------------------------------
+
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def score_col(text: Column, keywords: list[str]) -> Column:
+    """|distinct tokens ∩ keywords| / sqrt(1+|tokens|), bround 6 (half-even,
+    matching python round()); IEEE-754 doubles agree bit-for-bit with the
+    oracle."""
+    toks = tokens_col(text)
+    matched = F.size(F.array_intersect(F.array_distinct(toks), F.array([F.lit(k) for k in keywords])))
+    return F.bround(
+        matched.cast("double") / F.sqrt(F.size(toks).cast("double") + F.lit(1.0)), 6
+    )

