@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl-flavored query on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2.2
+plus the training-data pipeline operators; ``oracle_sql()`` gives the
+DuckDB twin for every operator whose math both engines can compute
+identically (the rest are rows-only here and pytest-locked in tests/).
 """
 
 from __future__ import annotations
@@ -14,25 +14,53 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    # importing the plan modules populates the shared REGISTRY
+    from storm_focused_crawler_spark.plans import crawl_ops  # noqa: F401
+    from storm_focused_crawler_spark.plans import pipeline_ops  # noqa: F401
+    from storm_focused_crawler_spark.plans import queries as q
+
+    return q.REGISTRY
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl dequeue over the derived URL universe —
+    robots filter → per-host politeness window → global top-50 →
+    fetch join → per-tld rollup."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from storm_focused_crawler_spark.plans.queries import _budget_df, _robots_df, _urls
+
+    sf_dir = "/root/testdata/sf0.001"
+    u = _urls(spark, sf_dir)
+    r = u.join(F.broadcast(_robots_df(spark)), "host", "left").filter(
+        F.col("disallow_prefix").isNull()
+        | ~F.startswith(F.col("path"), F.col("disallow_prefix"))
+    )
+    b = r.join(F.broadcast(_budget_df(spark)), "host", "left").withColumn(
+        "budget", F.coalesce(F.col("budget"), F.lit(2))
+    )
+    w_host = Window.partitionBy("host").orderBy(F.col("score").desc(), F.col("url").asc())
+    picked = b.withColumn("rk", F.row_number().over(w_host)).filter(
+        F.col("rk") <= F.col("budget")
+    )
+    w_g = Window.orderBy(F.col("score").desc(), F.col("url").asc())
+    deq = picked.withColumn("seq", F.row_number().over(w_g)).filter(F.col("seq") <= 50)
+    return (
+        deq.groupBy("tld")
+        .agg(
+            F.count("*").alias("n_scheduled"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("tld")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (fn, sql) in _registry().items() if sql is not None}

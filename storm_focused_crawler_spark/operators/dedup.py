@@ -1,0 +1,221 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four families, all designed Spark-first for the 100 TB case:
+
+  * exact        — hash-groupBy on content (one shuffle, map-side combine)
+  * ngram-jaccard— word-shingle self-join (SQL-expressible; see
+                   plans/pipeline_ops.py for the DuckDB-oracled twin)
+  * minhash-LSH  — ENTIRELY JVM-side: shingle → xxhash64 → N_PERM
+                   universal-hash mins (groupBy agg) → banded bucket
+                   self-join → exact-jaccard verification of candidates.
+                   No Python crosses the hot path at all; at scale the
+                   band join is the only wide shuffle and its key space
+                   (band_id, band_hash) is uniform by construction.
+  * simhash      — 64-bit signature via array-fold over token hashes,
+                   candidate pairs from 16-bit band buckets, hamming
+                   verified with bit_count(xor).
+
+Sig math stays inside int64: h32 = url/shingle hash folded to 32 bits,
+a_j < 2^31 so a_j*h32 + b_j < 2^63 (no ANSI overflow), mod the first
+prime above 2^32.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8  # 8 bands × 4 rows
+_P = 4294967311  # first prime > 2^32
+
+
+def _perm_consts(j: int) -> tuple[int, int]:
+    """Deterministic universal-hash constants (public-knowledge scheme)."""
+    a = (2654435761 * (j + 1) + 0x9E3779B9) % (1 << 31) | 1
+    b = (40503 * (j + 7) * 2654435789 + j) % _P
+    return a, b
+
+
+def shingles_col(text, n: int = 3):
+    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """df → (id, sig array<long>[MINHASH_PERMS]) via shuffle-light agg."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles_col(F.col(text_col))).alias("shingle")
+    ).withColumn("h32", F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)))
+    aggs = []
+    for j in range(MINHASH_PERMS):
+        a, b = _perm_consts(j)
+        aggs.append(F.min(F.pmod(F.lit(a) * F.col("h32") + F.lit(b), F.lit(_P))).alias(f"m{j}"))
+    sig = sh.groupBy("_id").agg(*aggs)
+    return sig.select("_id", F.array(*[f"m{j}" for j in range(MINHASH_PERMS)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs by banded LSH, verified by exact shingle jaccard.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    sig = minhash_signature(df, id_col, text_col)
+    bands = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select("_id", "e.band", "e.bh")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification: jaccard over true shingle sets
+    sh = df.select(F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("sh"))
+    v = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return v.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(text):
+    """64-bit SimHash of whitespace tokens, entirely JVM-side.
+
+    Fold token hashes into a 64-wide counter array (+1/-1 per bit via
+    the hash's 64-char two's-complement bin() string — shiftright takes
+    only literal shift amounts, so bit i is read as a substring), then
+    pack the sign bits into two 32-bit halves (hi, lo) that stay inside
+    ANSI-safe long range.  Returns struct(hi long, lo long).
+    """
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    hs = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+    zero64 = F.array_repeat(F.lit(0), 64)
+    idx = F.sequence(F.lit(1), F.lit(64))  # 1-based char position in bin string
+    acc = F.aggregate(
+        hs,
+        zero64,
+        lambda acc, b: F.zip_with(
+            acc,
+            idx,
+            lambda a, i: a + F.when(F.substr(b, i, F.lit(1)) == "1", 1).otherwise(-1),
+        ),
+    )
+    signs = F.aggregate(
+        F.transform(acc, lambda a: F.when(a > 0, "1").otherwise("0")),
+        F.lit(""),
+        lambda s, c: F.concat(s, c),
+    )
+    hi = F.conv(F.substr(signs, F.lit(1), F.lit(32)), 2, 10).cast("long")
+    lo = F.conv(F.substr(signs, F.lit(33), F.lit(32)), 2, 10).cast("long")
+    return F.struct(hi.alias("hi"), lo.alias("lo"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by 16-bit-band LSH on simhash, hamming-verified."""
+    s = df.select(F.col(id_col).alias("_id"), simhash_col(F.col(text_col)).alias("sh"))
+    band_exprs = []
+    for b in range(4):  # python-literal shift amounts
+        src = F.col("sh.hi") if b < 2 else F.col("sh.lo")
+        sh = (1 - b % 2) * 16
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(src, sh).bitwiseAND(F.lit(65535)).alias("bh"))
+        )
+    bands = s.select("_id", "sh", F.explode(F.array(*band_exprs)).alias("e")).select(
+        "_id", "sh", "e.band", "e.bh"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a.hi").bitwiseXOR(F.col("sh_b.hi"))) + F.bit_count(
+        F.col("sh_a.lo").bitwiseXOR(F.col("sh_b.lo"))
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (word-level polynomial, mod 2^31 — stays in int64)
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_col(text):
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), F.lit(1 << 31)), F.lit(1 << 31)),
+    )
+
+
+def fingerprint_py(text: str) -> int:
+    """Pure-python oracle twin of fingerprint_col (pytest-locked)."""
+    from storm_focused_crawler_spark import spec
+
+    acc = 0
+    for t in (x for x in text.split(" ") if x):
+        acc = (acc * 31 + (spec.xxh64(t) % (1 << 31))) % (1 << 31)
+    return acc
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep min-id row per identical text; one hash-agg shuffle."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+    ).select("keeper_id", "n_copies")

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — JVM-side zip_with/aggregate dot
+products, a crossJoin pruned by broadcast of the (small) query set, and
+a per-query window for the top-k.  At 100 TB the scale path is the
+LSH-bucketed variant: random-hyperplane signatures (one Arrow-batched
+numpy matmul per partition — vectorized, never per-row) bucket the
+corpus, and only same-bucket candidates are scored, turning the O(N·Q)
+scan into O(N/2^P · Q) per probe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PLANES_SEED = 42
+
+
+def cosine_col(a, b):
+    """Exact cosine in doubles, element-order summation (oracle-stable)."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(bd, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def brute_force_knn(
+    emb: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors per query (excluding self).
+
+    queries is broadcast (it is the small side by construction); ties
+    broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def hyperplane_bucket_udf(dim: int, n_planes: int):
+    """Arrow-batched numpy signature: embedding → LSH bucket int.
+
+    Hyperplanes are a pure function of (seed, dim, n_planes) — every
+    executor regenerates the identical matrix; nothing is shipped.
+    """
+
+    @F.pandas_udf("int")
+    def bucket(emb: pd.Series) -> pd.Series:
+        planes = np.random.RandomState(PLANES_SEED).standard_normal((n_planes, dim))
+        m = np.vstack(emb.to_numpy())  # (batch, dim) one matmul per Arrow batch
+        signs = (m @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return bucket
+
+
+def lsh_knn(
+    emb: DataFrame, queries: DataFrame, k: int, dim: int, n_planes: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates."""
+    bucket = hyperplane_bucket_udf(dim, n_planes)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("bkt", bucket(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("bkt", bucket(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), "bkt")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )

@@ -1,0 +1,238 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal — registered into the same queries()/oracle_sql() registry.
+
+SQL-oracled where both engines provably compute identical values
+(integer/string derivations, element-order double folds rounded to 6);
+rows-only where the computation depends on xxhash64/numpy internals
+DuckDB cannot reproduce — those are pytest-locked instead
+(tests/test_pipeline_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from storm_focused_crawler_spark.operators import dedup as D
+from storm_focused_crawler_spark.operators import multimodal as MM
+from storm_focused_crawler_spark.operators import similarity as S
+from storm_focused_crawler_spark.plans.queries import REGISTRY, _t, op
+
+# ======================= deduplication ======================================
+
+
+@op(
+    "dedup_exact",
+    "SELECT min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY text",
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@op(
+    "dedup_ngram_jaccard",
+    """WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS shingles
+      FROM documents WHERE len(string_split(text,' ')) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, round(inter / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+    FROM pairs WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", D.shingles_col(F.col("text")).alias("shingles")).filter(
+        F.size("shingles") >= 1
+    )
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"), F.any_value("a.n").alias("na"),
+             F.any_value("b.n").alias("nb"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return pairs.filter(jac >= 0.3).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@op("dedup_minhash_lsh", None)  # xxhash64-based sig — pytest-locked, rows-only here
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.3)
+
+
+@op("dedup_simhash", None)  # pytest-locked (hamming property), rows-only here
+def dedup_simhash(spark, sf_dir):
+    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=12)
+
+
+@op(
+    "dedup_embedding_cosine",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = S.cosine_col(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.4)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    )
+
+
+# ======================= similarity search ==================================
+
+
+@op(
+    "sim_knn_cosine",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+      FROM q JOIN e ON e.vec_id <> q.query_id),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS r
+           FROM scored)
+    SELECT query_id, neighbor_id, cos FROM rk WHERE r <= 5""",
+)
+def sim_knn_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return S.brute_force_knn(e, q, k=5)
+
+
+@op("sim_knn_lsh", None)  # numpy hyperplane buckets — pytest recall-locked
+def sim_knn_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return S.lsh_knn(e, q, k=5, dim=64, n_planes=4)
+
+
+# ======================= text analysis ======================================
+
+
+@op(
+    "lang_id_ngram",
+    """SELECT doc_id,
+       (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END +
+        CASE WHEN text LIKE '% a %' THEN 1 ELSE 0 END +
+        CASE WHEN text LIKE 'the %' THEN 1 ELSE 0 END) AS en_hits,
+       CASE WHEN (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END +
+                  CASE WHEN text LIKE '% a %' THEN 1 ELSE 0 END +
+                  CASE WHEN text LIKE 'the %' THEN 1 ELSE 0 END) >= 2
+            THEN 'en' ELSE 'und' END AS pred_lang
+    FROM documents""",
+)
+def lang_id_ngram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    hits = (
+        F.when(F.col("text").like("% the %"), 1).otherwise(0)
+        + F.when(F.col("text").like("% a %"), 1).otherwise(0)
+        + F.when(F.col("text").like("the %"), 1).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        hits.alias("en_hits"),
+        F.when(hits >= 2, "en").otherwise("und").alias("pred_lang"),
+    )
+
+
+@op(
+    "text_quality_score",
+    """WITH t AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+             len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_tok,
+           round((n_chars - n_tok + 1) / CAST(n_tok AS DOUBLE), 6) AS avg_word_len,
+           round(n_stop / CAST(n_tok AS DOUBLE), 6) AS stop_ratio,
+           round(0.5 * least(n_tok / 100.0, 1.0) +
+                 0.5 * (n_stop / CAST(n_tok AS DOUBLE)), 6) AS quality
+    FROM t WHERE n_tok > 0""",
+)
+def text_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.filter(F.split("text", " "), lambda x: (x == "the") | (x == "a"))
+    t = d.select(
+        "doc_id", "n_chars", F.size(toks).alias("n_tok"), F.size(stops).alias("n_stop")
+    ).filter(F.col("n_tok") > 0)
+    stop_ratio = F.col("n_stop") / F.col("n_tok").cast("double")
+    return t.select(
+        "doc_id",
+        "n_tok",
+        F.round((F.col("n_chars") - F.col("n_tok") + 1) / F.col("n_tok").cast("double"), 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(0.5 * F.least(F.col("n_tok") / 100.0, F.lit(1.0)) + 0.5 * stop_ratio, 6).alias("quality"),
+    )
+
+
+@op(
+    "text_token_count",
+    """SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS INT) AS re_tokens
+    FROM documents""",
+)
+def text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    re_ = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    return d.select("doc_id", F.size(ws).alias("ws_tokens"), F.size(re_).alias("re_tokens"))
+
+
+@op("doc_fingerprint", None)  # xxhash64 rolling hash — pytest-locked vs fingerprint_py
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", D.fingerprint_col(F.col("text")).alias("fp"))
+
+
+# ======================= multimodal =========================================
+
+
+@op(
+    "multimodal_meta",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(ceil(octet_length(encode(text)) / 4096.0) AS BIGINT) AS n_chunks
+    FROM documents""",
+)
+def multimodal_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nb = F.octet_length("text")
+    return d.select(
+        "doc_id",
+        nb.alias("n_bytes"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.ceil(nb / 4096.0).alias("n_chunks"),
+    )
+
+
+@op("multimodal_decode", None)  # mapInPandas plumbing w/ stubbed decoder
+def multimodal_decode(spark, sf_dir):
+    media = MM.derive_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.decode_media(media)

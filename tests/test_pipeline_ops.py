@@ -1,0 +1,92 @@
+"""Pytest locks for the rows-only pipeline operators (dedup / similarity /
+fingerprint / multimodal) — these have no DuckDB oracle, so their
+semantics are pinned here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_focused_crawler_spark.operators import dedup as D
+from storm_focused_crawler_spark.operators import multimodal as MM
+from storm_focused_crawler_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " extra"               # jaccard 10/11 ≈ 0.909 vs base
+    far = "completely different words nothing shared at all here friend"
+    rows = [
+        (1, base), (2, base),            # exact dup pair
+        (3, near),                        # near dup of 1/2
+        (4, far),
+        (6, "tiny"),                      # < 3 tokens → no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_exact_dups_always_found(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    assert pairs.get((1, 2)) == 1.0          # identical sigs → same buckets, jaccard 1
+    assert (1, 3) in pairs and (2, 3) in pairs  # 0.909-jaccard near-dups bucket together
+    assert round(pairs[(1, 3)], 6) == round(10 / 11, 6)
+    assert all(not (a == 4 or b == 4 or a == 6 or b == 6) for a, b in pairs)
+
+
+def test_simhash_identical_zero_hamming(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=12).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_fingerprint_matches_python_oracle(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    got = {r["doc_id"]: r["fp"] for r in
+           d.select("doc_id", D.fingerprint_col(F.col("text")).alias("fp")).collect()}
+    for r in d.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == D.fingerprint_py(r["text"]), r["doc_id"]
+
+
+def test_lsh_knn_subset_of_brute_force_space(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    bf = S.brute_force_knn(emb, q, k=5)
+    lsh = S.lsh_knn(emb, q, k=5, dim=64, n_planes=4)
+    bf_rows = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in bf.collect()}
+    lsh_rows = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in lsh.collect()}
+    assert lsh_rows, "LSH produced no candidates"
+    # cos values must agree exactly where both report the same pair
+    agree = [k for k in lsh_rows if k in bf_rows]
+    assert all(lsh_rows[k] == bf_rows[k] for k in agree)
+    # recall floor is intentionally loose: single-table LSH with 16
+    # buckets over near-random vectors has low recall by construction;
+    # the locked property is exact cos agreement on shared pairs above
+    recall = len(agree) / max(len(bf_rows), 1)
+    assert recall > 0.0, f"recall {recall}"
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = MM.derive_media(d, "doc_id", "text")
+    out = MM.decode_media(media)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert out.columns == ["doc_id", "kind", "n_bytes", "feat0", "feat1", "n_frames"]
+    for r in rows:
+        assert r["n_bytes"] > 0 and 0 <= r["feat0"] <= 255
+        if r["kind"] == "video":
+            assert r["n_frames"] >= 1
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        MM.decode_media_real(None)
+
+
+def test_frame_sample_offsets(spark):
+    df = spark.createDataFrame([(10000,), (100,)], "n_bytes long")
+    rows = df.select(MM.frame_sample_offsets(F.col("n_bytes")).alias("o")).collect()
+    assert rows[0]["o"] == [0, 4096]  # 10000 bytes → 2 frames
+    assert rows[1]["o"] == [0]
