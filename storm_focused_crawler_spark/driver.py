@@ -151,26 +151,47 @@ def run_round(
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn("discovered_round", F.lit(rnd + 1))
         .select("url", "url_hash", "score", "depth", "discovered_round")
-    )
+    ).persist()  # feeds the seen anti-join; don't re-run the UDF chain
 
+    # --- seen set: append-only DELTA (O(capacity) per round, never a
+    # rewrite of the accumulated 10^10-hash set; readers union the
+    # per-round deltas in one multi-path scan — storage.read_union) ----------
     emitted = deq.select("url_hash")
-    seen_next = seen.select("url_hash").unionByName(emitted)
+    seen_delta = emitted
     if rnd == 0:
         seeds_df = spark.createDataFrame([(h,) for h in seed_hashes], SEEN_SCHEMA)
-        seen_next = seen_next.unionByName(seeds_df)
-    seen_next = seen_next.distinct()
+        # delta is tiny (≤ capacity + |seeds| rows) — distinct is cheap here
+        seen_delta = seen_delta.unionByName(seeds_df).distinct()
+    seen_next = seen.select("url_hash").unionByName(seen_delta)
 
     new_unseen = links.join(seen_next, "url_hash", "left_anti")
     rest = frontier.join(emitted, "url_hash", "left_anti")
     merged = rest.unionByName(new_unseen)
-    w_best = Window.partitionBy("url").orderBy(
-        F.col("score").desc(), F.col("depth").asc(), F.col("discovered_round").asc()
-    )
+    # per-url best entry by (max score, min depth, min discovered_round):
+    # a hash AGGREGATE with map-side partial combine, not a sort window —
+    # at 10^10 frontier rows this avoids a full shuffle-sort every round.
+    # Deterministic: ties on the full struct are byte-identical rows.
+    best = F.max(
+        F.struct(
+            F.col("score"),
+            (-F.col("depth")).alias("nd"),
+            (-F.col("discovered_round")).alias("nr"),
+        )
+    ).alias("b")
     frontier_next = (
-        merged.withColumn("_rb", F.row_number().over(w_best))
-        .filter(F.col("_rb") == 1)
-        .drop("_rb")
-        .repartition(spark.sparkContext.defaultParallelism, "url_hash")
+        merged.groupBy("url", "url_hash")
+        .agg(best)
+        .select(
+            "url",
+            "url_hash",
+            F.col("b.score").alias("score"),
+            (-F.col("b.nd")).cast("int").alias("depth"),
+            (-F.col("b.nr")).cast("int").alias("discovered_round"),
+        )
+        # NOTE: no repartition here — the groupBy already hash-distributed
+        # the rows, and hash partitioning does not survive a parquet write;
+        # an extra exchange would be pure shuffle cost every round.
+        .persist()  # computed twice: frontier write + lineage metrics
     )
 
     # --- per-partition lineage metrics (north rule) -------------------------
@@ -185,9 +206,9 @@ def run_round(
         "ordering": ordering,
         "results": results,
         "frontier": frontier_next,
-        "seen": seen_next,
+        "seen": seen_delta,
         "metrics": metrics,
-        "_persisted": [deq, ex],  # caller unpersists after commit
+        "_persisted": [deq, ex, links, frontier_next],  # caller unpersists after commit
     }
 
 
@@ -223,7 +244,7 @@ def run_crawl(
         start = 0
     else:
         frontier = store.read(spark, last, "frontier")
-        seen = store.read(spark, last, "seen")
+        seen = store.read_union(spark, last, "seen")
         start = last + 1
 
     for rnd in range(start, cfg.rounds):
@@ -237,7 +258,7 @@ def run_crawl(
             df.unpersist()
         # cut lineage: next round reads the committed snapshot
         frontier = store.read(spark, rnd, "frontier")
-        seen = store.read(spark, rnd, "seen")
+        seen = store.read_union(spark, rnd, "seen")
         m = store.manifest(rnd)
         m["wall_sec"] = time.time() - t0
     return store

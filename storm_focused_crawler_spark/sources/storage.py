@@ -77,6 +77,19 @@ class ParquetSnapshotStore:
             raise FileNotFoundError(f"round {rnd} not committed in {self.root}")
         return spark.read.parquet(os.path.join(self._round_dir(rnd), table))
 
+    def read_union(self, spark: SparkSession, upto: int, table: str) -> DataFrame:
+        """Union of *table* across rounds 0..upto — ONE multi-path scan.
+
+        Used for append-only delta tables (``seen``): each round commits
+        only its delta, so a 1000-round crawl never rewrites the
+        accumulated set (O(delta) per round, not O(total)); readers get
+        the full state as a single parquet scan over all round dirs.
+        """
+        if not os.path.exists(self._manifest(upto)):
+            raise FileNotFoundError(f"round {upto} not committed in {self.root}")
+        paths = [os.path.join(self._round_dir(r), table) for r in range(upto + 1)]
+        return spark.read.parquet(*paths)
+
     def latest_round(self) -> int | None:
         """Highest committed round, or None (resume entry point)."""
         best = None

@@ -51,7 +51,9 @@ def _collect(spark, store):
                      for x in store.read(spark, r, "ordering").collect()]
         for x in store.read(spark, r, "results").collect():
             results[x["url"]] = (x["score"], x["text"], x["lang"], x["n_links"])
-    seen = {x["url_hash"] for x in store.read(spark, ROUNDS - 1, "seen").collect()}
+    # seen is committed as per-round append-only deltas; the full state
+    # is the union of deltas 0..r (storage.read_union)
+    seen = {x["url_hash"] for x in store.read_union(spark, ROUNDS - 1, "seen").collect()}
     return sorted(ordering), results, seen
 
 
