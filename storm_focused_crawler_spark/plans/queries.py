@@ -570,6 +570,42 @@ def stream_session_host(spark, sf_dir):
     )
 
 
+@op("stateful_seen_set", None)
+def stateful_seen_set(spark, sf_dir):
+    """Live Structured-Streaming twin of the URL-seen set (SURVEY §2.2
+    'stateful_seen_set'): sharded applyInPandasWithState dedup over a
+    file-streamed URL feed derived from documents.  Rows-only oracle —
+    pytest locks exactly-once emission (tests/test_streaming.py)."""
+    import os
+    import tempfile
+    import uuid
+
+    feed = tempfile.mkdtemp(prefix="seenfeed_")
+    u = _urls(spark, sf_dir).select("url")
+    # two overlapping micro-batch files → the state actually dedups
+    u.limit(300).write.mode("overwrite").parquet(os.path.join(feed, "b0"))
+    u.limit(500).write.mode("overwrite").parquet(os.path.join(feed, "b1"))
+
+    from storm_focused_crawler_spark.streaming.live import seen_filter_stream
+
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    q = (
+        seen_filter_stream(stream, n_shards=8)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT url, url_hash, shard FROM {name} ORDER BY url")
+
+
 @op(
     "watermark_late_pages",
     """SELECT event_id FROM events

@@ -1,0 +1,160 @@
+"""Structured Streaming twins of the round-batched crawl operators.
+
+The reference is a continuously-running Storm topology ([R] SURVEY.md
+§0: RedisSpout feeding fetch→extract→rank bolts, Redis as the evolving
+URL-seen state).  Our engine is round-batched (SURVEY.md §2.2
+"streaming-equivalent operators"), but every streaming-shaped semantics
+has a live twin here for deployments that want a continuous crawl:
+
+  * pages_stream            — readStream over the page-corpus directory
+                              (file source; Kafka swaps in by config on
+                              a real cluster)
+  * tumbling_counts_stream  — watermarked tumbling-window counts
+                              (batch twin: queries.stream_tumbling_rounds)
+  * session_counts_stream   — session windows per key, 30 min gap
+                              (batch twin: queries.stream_session_host)
+  * seen_filter_stream      — applyInPandasWithState URL-seen dedup:
+                              the Redis SISMEMBER/SADD loop as sharded
+                              per-group state (batch twin: the exact
+                              anti-join in operators/frontier.eligible)
+
+All stateful ops key their state by a hash shard, NOT by url — state
+per group stays bounded and the shard count (not the key cardinality)
+sets the parallelism, exactly like the sharded seen-set tables in the
+batch engine.  Tests drive these with availableNow triggers over file
+sources so the same assertions run here and on a real cluster.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def pages_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of Common-Crawl-style pages (input_hint schema)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def tumbling_counts_stream(events: DataFrame, window: str = "5 minutes",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Tumbling counts per (window, event_type); late rows beyond the
+    watermark are dropped — the streaming twin of the reference's
+    tick-window counters and of stream_tumbling_rounds."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user (gap-based) — burst detection per host
+    in the reference; twin of stream_session_host."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful URL-seen filter — the Redis SISMEMBER/SADD loop as stream state
+# ---------------------------------------------------------------------------
+
+SEEN_OUT_SCHEMA = "url string, url_hash long, shard int"
+SEEN_STATE_SCHEMA = "hashes binary"
+N_SHARDS_DEFAULT = 32
+
+
+def _seen_filter_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.DataFrame]":
+    """Emit only first-ever-seen urls of this shard; state = sorted
+    int64 hash array (numpy bytes — bounded, vectorized probes)."""
+    import numpy as np
+
+    seen = (
+        np.frombuffer(state.get[0], dtype=np.int64)
+        if state.exists
+        else np.empty(0, dtype=np.int64)
+    )
+    for pdf in pdf_iter:
+        h = pdf["url_hash"].to_numpy(dtype=np.int64)
+        # within-batch first occurrence, then against accumulated state
+        first_ix = ~pdf["url_hash"].duplicated().to_numpy()
+        if len(seen):
+            idx = np.clip(np.searchsorted(seen, h), 0, len(seen) - 1)
+            unseen = seen[idx] != h
+        else:
+            unseen = np.ones(len(h), dtype=bool)
+        keep = first_ix & unseen
+        if keep.any():
+            out = pdf.loc[keep, ["url", "url_hash", "shard"]]
+            seen = np.unique(np.concatenate([seen, h[keep]]))
+            yield out
+    state.update((seen.tobytes(),))
+
+
+def seen_filter_stream(urls: DataFrame, n_shards: int = N_SHARDS_DEFAULT) -> DataFrame:
+    """Streaming URL-seen dedup: sharded applyInPandasWithState.
+
+    Input: streaming DataFrame with a ``url`` column.  Output: rows the
+    crawl has never seen before, exactly once across all micro-batches.
+    State is keyed by ``shard = pmod(url_hash, n_shards)`` so its size
+    per group is |seen|/n_shards and parallelism scales with shards —
+    the same sharding discipline as the batch seen tables.
+    """
+    keyed = urls.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _seen_filter_fn,
+        outputStructType=SEEN_OUT_SCHEMA,
+        stateStructType=SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

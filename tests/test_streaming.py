@@ -1,0 +1,117 @@
+"""Structured Streaming twins vs their batch results (SURVEY.md §2.2).
+
+Each stream runs a file source with an availableNow trigger into a
+memory sink, then is compared against the equivalent batch computation
+on the same parquet input — the twin relationship the module promises.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_focused_crawler_spark.streaming import live
+
+
+def _run_stream(df, name: str, mode: str = "update") -> str:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_dir, tmp_path_factory):
+    # file stream sources require a DIRECTORY; stage the single parquet
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_path):
+    s = live.tumbling_counts_stream(live.events_stream(spark, events_path))
+    name = _run_stream(s, f"tumble_{uuid.uuid4().hex[:8]}", mode="complete")
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = (
+        spark.read.parquet(events_path)
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    want = {(r["win_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_session_counts_stream_total_events(spark, events_path):
+    s = live.session_counts_stream(live.events_stream(spark, events_path))
+    name = _run_stream(s, f"sess_{uuid.uuid4().hex[:8]}", mode="complete")
+    out = spark.sql(f"SELECT sum(n_events) AS t, count(*) AS sessions FROM {name}").collect()[0]
+    n_events = spark.read.parquet(events_path).count()
+    assert out["t"] == n_events  # every event lands in exactly one session
+    # sessions per user == the batch lag-based session count twin
+    got_per_user = {
+        r["user_id"]: r["ns"]
+        for r in spark.sql(
+            f"SELECT user_id, count(*) AS ns FROM {name} GROUP BY user_id"
+        ).collect()
+    }
+    from storm_focused_crawler_spark.plans.queries import REGISTRY
+
+    batch_fn = REGISTRY["stream_session_host"][0]
+    want = {
+        r["user_id"]: r["n_sessions"]
+        for r in batch_fn(spark, events_path).collect()
+    }
+    assert got_per_user == want
+
+
+def test_seen_filter_stream_exactly_once(spark, tmp_path):
+    """Across micro-batches, each distinct url is emitted exactly once —
+    the Redis SISMEMBER/SADD semantics of the reference spout chain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "urls"
+    d.mkdir()
+    # 3 files → multiple micro-batches with maxFilesPerTrigger=1; urls
+    # overlap across files and repeat within files
+    batches = [
+        [f"https://h{i % 7}.ex.com/p{i}" for i in range(40)],
+        [f"https://h{i % 7}.ex.com/p{i}" for i in range(20, 60)],
+        [f"https://h{i % 7}.ex.com/p{i}" for i in range(50, 90)] * 2,
+    ]
+    for i, urls in enumerate(batches):
+        pq.write_table(pa.table({"url": pa.array(urls, pa.string())}), d / f"b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = live.seen_filter_stream(stream, n_shards=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seenf")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT url FROM seenf").collect()
+    emitted = [r["url"] for r in rows]
+    distinct_in = {u for b in batches for u in b}
+    assert len(emitted) == len(set(emitted)), "url emitted more than once"
+    assert set(emitted) == distinct_in, "some url never emitted"
