@@ -60,6 +60,7 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_shards: int = 8
     bloom_bits_per_shard: int = 1 << 20
+    max_budget: int | None = None  # literal WindowGroupLimit bound; computed once per crawl
 
 
 @dataclass
@@ -111,7 +112,7 @@ def run_round(
 ) -> dict[str, DataFrame]:
     """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}."""
     elig = eligible(frontier, seen, robots)
-    deq = dequeue(elig, host_budget, cfg.capacity, cfg.n_salts)
+    deq = dequeue(elig, host_budget, cfg.capacity, cfg.n_salts, cfg.max_budget)
     deq = deq.select("url", "url_hash", "score", "depth", "seq").persist()
 
     ordering = deq.select(F.lit(rnd).alias("round"), "seq", "url").orderBy("seq")
@@ -231,6 +232,9 @@ def run_crawl(
     corpus = spark.read.parquet(corpus_path)
     robots = spark.read.parquet(fixture_paths["robots"])
     host_budget = spark.read.parquet(fixture_paths["host_budget"])
+    if cfg.max_budget is None:
+        row = host_budget.agg(F.max("budget")).collect()[0][0]
+        cfg.max_budget = max(int(row or 0), 2)
     with open(fixture_paths["seeds"]) as f:
         seeds = [spec.canon(u) for u in json.load(f)]
     seed_hashes = [spec.xxh64(u) for u in seeds]

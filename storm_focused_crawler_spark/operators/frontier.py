@@ -56,12 +56,26 @@ def dequeue(
     host_budget: DataFrame,
     capacity: int,
     n_salts: int = 8,
+    max_budget: int | None = None,
 ) -> DataFrame:
     """§2.1-5: per host top-budget, then global top-C; adds ``seq``.
 
     Input must have columns (url, url_hash, score, depth, host).
     Output: same + seq (1-based global rank).
+
+    Each rank filter is split in two: a LITERAL bound (``max_budget``)
+    first, then the exact per-host column bound.  Catalyst can only
+    compile ``row_number <= <literal>`` into WindowGroupLimit (top-k
+    pruning that keeps a k-row heap per group instead of sorting and
+    materializing the whole partition); a column bound alone would
+    full-sort every hot-host group at 10^10-frontier scale.  Verified
+    by tests/test_plans.py::test_dequeue_uses_window_group_limit.
     """
+    if max_budget is None:
+        # one scalar off a broadcast-sized dim table, computed at plan
+        # build; callers on a hot path pass it explicitly (CrawlConfig)
+        row = host_budget.agg(F.max("budget")).collect()[0][0]
+        max_budget = max(int(row or 0), DEFAULT_BUDGET)
     b = elig.join(F.broadcast(host_budget), "host", "left").withColumn(
         "budget", F.coalesce(F.col("budget"), F.lit(DEFAULT_BUDGET))
     )
@@ -69,10 +83,18 @@ def dequeue(
     # phase 1 — salted local prune (skew-proof)
     salt = F.pmod(F.col("url_hash"), F.lit(n_salts))
     w1 = Window.partitionBy("host", salt).orderBy(*order)
-    b = b.withColumn("_rn1", F.row_number().over(w1)).filter(F.col("_rn1") <= F.col("budget"))
+    b = (
+        b.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= F.lit(max_budget))  # literal → WindowGroupLimit
+        .filter(F.col("_rn1") <= F.col("budget"))  # exact per-host bound
+    )
     # phase 2 — exact per-host budget on the pruned set
     w2 = Window.partitionBy("host").orderBy(*order)
-    b = b.withColumn("_rn2", F.row_number().over(w2)).filter(F.col("_rn2") <= F.col("budget"))
+    b = (
+        b.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= F.lit(max_budget))
+        .filter(F.col("_rn2") <= F.col("budget"))
+    )
     # global top-C → seq (input ≤ Σ budgets rows; single-partition window OK)
     wg = Window.orderBy(*order)
     return (
