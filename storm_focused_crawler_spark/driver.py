@@ -109,9 +109,10 @@ def run_round(
     cfg: CrawlConfig,
     rnd: int,
     seed_hashes: list[int],
+    bloom_probe=None,
 ) -> dict[str, DataFrame]:
     """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}."""
-    elig = eligible(frontier, seen, robots)
+    elig = eligible(frontier, seen, robots, bloom_probe)
     deq = dequeue(elig, host_budget, cfg.capacity, cfg.n_salts, cfg.max_budget)
     deq = deq.select("url", "url_hash", "score", "depth", "seq").persist()
 
@@ -251,11 +252,34 @@ def run_crawl(
         seen = store.read_union(spark, last, "seen")
         start = last + 1
 
+    from storm_focused_crawler_spark.operators import bloom
+
     for rnd in range(start, cfg.rounds):
         t0 = time.time()
-        out = run_round(
-            spark, corpus, frontier, seen, robots, host_budget, cfg, rnd, seed_hashes
+        have_prev_bloom = (
+            cfg.use_bloom and rnd > 0 and "bloom" in store.manifest(rnd - 1)["tables"]
         )
+        probe = None
+        if have_prev_bloom:
+            # shards snapshot committed by the previous round; advisory
+            # only — eligible() re-checks positives exactly (§2.1-3)
+            shards = store.read(spark, rnd - 1, "bloom")
+            probe = bloom.probe_col(
+                spark, shards, cfg.bloom_shards, cfg.bloom_bits_per_shard
+            )
+        out = run_round(
+            spark, corpus, frontier, seen, robots, host_budget, cfg, rnd, seed_hashes,
+            bloom_probe=probe,
+        )
+        if cfg.use_bloom:
+            new_shards = bloom.build_shards(
+                out["seen"], cfg.bloom_shards, cfg.bloom_bits_per_shard
+            )
+            if have_prev_bloom:
+                new_shards = bloom.merge_shards(
+                    store.read(spark, rnd - 1, "bloom"), new_shards
+                )
+            out["bloom"] = new_shards
         persisted = out.pop("_persisted")
         store.write_round(rnd, out)
         for df in persisted:

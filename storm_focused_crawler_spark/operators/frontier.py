@@ -35,14 +35,31 @@ from storm_focused_crawler_spark.functions.udfs import host_col, path_col
 DEFAULT_BUDGET = 2  # hosts missing from host_budget (oracle twin: seqcrawler)
 
 
-def eligible(frontier: DataFrame, seen: DataFrame, robots: DataFrame) -> DataFrame:
+def eligible(
+    frontier: DataFrame,
+    seen: DataFrame,
+    robots: DataFrame,
+    bloom_probe=None,
+) -> DataFrame:
     """frontier ∖ seen, minus robots-blocked (§2.1-5 pre-filter).
 
     seen is probed by url_hash with an exact LEFT ANTI join — the Bloom
-    sidecar (operators/bloom.py) can pre-filter the probe side but the
-    anti-join stays the membership authority (§2.1-3).
+    sidecar (operators/bloom.py) pre-filters the probe side when
+    *bloom_probe* is given, but the anti-join stays the membership
+    authority (§2.1-3): Bloom-negative rows are DEFINITIVELY unseen (no
+    false negatives, property-tested) and skip the join entirely;
+    only Bloom-positive rows — ~FPR·|frontier| + |actually seen| —
+    touch the 10^10-hash seen table.
     """
-    e = frontier.join(seen.select("url_hash"), "url_hash", "left_anti")
+    if bloom_probe is not None:
+        fr = frontier.withColumn("_maybe", bloom_probe(F.col("url_hash")))
+        sure_new = fr.filter(~F.col("_maybe")).drop("_maybe")
+        candidates = fr.filter(F.col("_maybe")).drop("_maybe")
+        e = candidates.join(seen.select("url_hash"), "url_hash", "left_anti").unionByName(
+            sure_new
+        )
+    else:
+        e = frontier.join(seen.select("url_hash"), "url_hash", "left_anti")
     e = e.withColumn("host", host_col(F.col("url")))
     r = e.join(F.broadcast(robots), "host", "left")
     return r.filter(

@@ -73,6 +73,23 @@ def test_crawl_parity(spark, fixture_paths, oracle_result, tmp_path, parts):
         assert vals[2:] == omap[url][2:]
 
 
+def test_crawl_parity_with_bloom(spark, fixture_paths, oracle_result, tmp_path):
+    """With the Bloom pre-filter ON, results are IDENTICAL — the Bloom
+    is advisory (§2.1-3): negatives skip the anti-join (no false
+    negatives), positives are re-checked exactly."""
+    wd = str(tmp_path / "bloomrun")
+    cfg = drv.CrawlConfig(
+        rounds=ROUNDS, capacity=CAPACITY,
+        keywords=tuple(gen_pages.topic_keywords()),
+        use_bloom=True, bloom_shards=4, bloom_bits_per_shard=1 << 16,
+    )
+    store = drv.run_crawl(spark, fixture_paths, cfg, wd)
+    ordering, results, seen = _collect(spark, store)
+    assert ordering == sorted(oracle_result.ordering)
+    assert seen == oracle_result.seen_hashes
+    assert set(results) == {t[2] for t in oracle_result.results}
+
+
 def test_extracted_text_matches_corpus(spark, fixture_paths, tmp_path):
     """extract_text(html) must equal the corpus text column, byte-identical."""
     from pyspark.sql import functions as F
