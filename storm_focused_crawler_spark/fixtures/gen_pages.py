@@ -179,9 +179,12 @@ def generate(sf_dir: str, out_dir: str, force: bool = False) -> dict[str, str]:
 
 
 def topic_keywords() -> list[str]:
-    here = os.path.dirname(__file__)
-    with open(os.path.join(here, "topic.json")) as f:
-        return json.load(f)["keywords"]
+    # importlib.resources, not a file path — the package may be imported
+    # from a --py-files zip on executors/driver (jobs/package.py)
+    from importlib import resources
+
+    data = resources.files("storm_focused_crawler_spark.fixtures").joinpath("topic.json")
+    return json.loads(data.read_text())["keywords"]
 
 
 def fixture_dir(sf_dir: str) -> str:
