@@ -111,10 +111,28 @@ def run_round(
     seed_hashes: list[int],
     bloom_probe=None,
 ) -> dict[str, DataFrame]:
-    """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}."""
+    """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}.
+
+    Per-stage lineage rides on Spark's Observation API — row/byte
+    counts are collected DURING the existing write actions, zero extra
+    jobs (north rule: "per-partition lineage + metrics"; the
+    per-partition breakdown is the ``metrics`` table, the per-stage
+    rollup lands in the round manifest via ``_observations``).
+    """
+    from pyspark.sql import Observation
+
+    obs = {
+        "dequeued": Observation("dequeued"),
+        "extracted": Observation("extracted"),
+        "links": Observation("links"),
+    }
     elig = eligible(frontier, seen, robots, bloom_probe)
     deq = dequeue(elig, host_budget, cfg.capacity, cfg.n_salts, cfg.max_budget)
-    deq = deq.select("url", "url_hash", "score", "depth", "seq").persist()
+    deq = (
+        deq.select("url", "url_hash", "score", "depth", "seq")
+        .observe(obs["dequeued"], F.count(F.lit(1)).alias("rows"))
+        .persist()
+    )
 
     ordering = deq.select(F.lit(rnd).alias("round"), "seq", "url").orderBy("seq")
 
@@ -130,6 +148,12 @@ def run_round(
         .drop("html")  # html bytes never cross a shuffle (SURVEY §7.4-4)
         .withColumn("page_score", score_col(F.col("text_x"), list(cfg.keywords)))
         .withColumn("n_links", F.size("links_raw"))
+        .observe(
+            obs["extracted"],
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.length("text_x")).alias("text_chars"),
+            F.sum("n_links").alias("outlinks"),
+        )
     ).persist()
 
     results = ex.select(
@@ -153,6 +177,7 @@ def run_round(
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn("discovered_round", F.lit(rnd + 1))
         .select("url", "url_hash", "score", "depth", "discovered_round")
+        .observe(obs["links"], F.count(F.lit(1)).alias("rows"))
     ).persist()  # feeds the seen anti-join; don't re-run the UDF chain
 
     # --- seen set: append-only DELTA (O(capacity) per round, never a
@@ -211,6 +236,7 @@ def run_round(
         "seen": seen_delta,
         "metrics": metrics,
         "_persisted": [deq, ex, links, frontier_next],  # caller unpersists after commit
+        "_observations": obs,  # stage → Observation; read AFTER the writes ran
     }
 
 
@@ -281,12 +307,20 @@ def run_crawl(
                 )
             out["bloom"] = new_shards
         persisted = out.pop("_persisted")
+        observations = out.pop("_observations", {})
         store.write_round(rnd, out)
         for df in persisted:
             df.unpersist()
+        # stage-level lineage, collected by the Observation API during the
+        # writes above (no extra jobs); persisted next to the row counts
+        stage_metrics = {
+            name: {k: (int(v) if v is not None else 0) for k, v in o.get.items()}
+            for name, o in observations.items()
+        }
+        store.amend_manifest(
+            rnd, {"wall_sec": round(time.time() - t0, 3), "stages": stage_metrics}
+        )
         # cut lineage: next round reads the committed snapshot
         frontier = store.read(spark, rnd, "frontier")
         seen = store.read_union(spark, rnd, "seen")
-        m = store.manifest(rnd)
-        m["wall_sec"] = time.time() - t0
     return store

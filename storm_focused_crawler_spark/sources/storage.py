@@ -107,6 +107,15 @@ class ParquetSnapshotStore:
         with open(self._manifest(rnd)) as f:
             return json.load(f)
 
+    def amend_manifest(self, rnd: int, extra: dict) -> None:
+        """Merge *extra* into a committed round's manifest (atomic rename)."""
+        m = self.manifest(rnd)
+        m.update(extra)
+        mtmp = self._manifest(rnd) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(m, f)
+        os.rename(mtmp, self._manifest(rnd))
+
 
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq

@@ -13,4 +13,6 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return "/root/testdata/sf0.001"
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
