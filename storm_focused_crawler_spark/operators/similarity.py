@@ -73,6 +73,95 @@ def hyperplane_bucket_udf(dim: int, n_planes: int):
     return bucket
 
 
+def _assign_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment (one matmul per batch)."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    """Arrow-batched: embedding → array of the nprobe nearest cluster ids."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def probe(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cn.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return probe
+
+
+def ivf_train(
+    emb: DataFrame, n_centroids: int, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: seeds = first n_centroids
+    vectors by xxhash64(id) order, then *iters* Lloyd steps, each ONE
+    DataFrame job (assign via Arrow matmul, recompute via posexplode +
+    hash agg).  Centroids live on the driver (C×dim, tiny) and ship by
+    broadcast — at 100 TB only assignments scan the corpus."""
+    seed_rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    for _ in range(iters):
+        assigned = emb.select(F.col(vec_col).alias("v")).withColumn(
+            "c", _assign_udf(centroids)(F.col("v"))
+        )
+        means = (
+            assigned.select("c", F.posexplode(F.col("v").cast("array<double>")))
+            .groupBy("c", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()  # clusters that lost all members keep their seed
+        for r in means:
+            new[r["c"], r["pos"]] = r["m"]
+        centroids = new
+    return centroids
+
+
+def ivf_knn(
+    emb: DataFrame, queries: DataFrame, k: int, n_centroids: int = 16,
+    nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only candidates in the nprobe
+    clusters nearest each query.  O(N·nprobe/C · Q) instead of O(N·Q);
+    the corpus is scanned once for assignment and once per search."""
+    centroids = ivf_train(emb, n_centroids)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cluster", _assign_udf(centroids)(F.col("cv")))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("cluster", F.explode(_probe_udf(centroids, nprobe)(F.col("qv"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 def lsh_knn(
     emb: DataFrame, queries: DataFrame, k: int, dim: int, n_planes: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

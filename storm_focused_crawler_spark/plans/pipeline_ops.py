@@ -128,6 +128,13 @@ def sim_knn_lsh(spark, sf_dir):
     return S.lsh_knn(e, q, k=5, dim=64, n_planes=4)
 
 
+@op("sim_knn_ivf", None)  # deterministic kmeans coarse quantizer — recall-locked
+def sim_knn_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_knn(e, q, k=5, n_centroids=16, nprobe=4)
+
+
 # ======================= text analysis ======================================
 
 

@@ -67,6 +67,30 @@ def test_lsh_knn_subset_of_brute_force_space(spark, sf_dir):
     assert recall > 0.0, f"recall {recall}"
 
 
+def test_ivf_knn_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    bf = S.brute_force_knn(emb, q, k=5)
+    ivf = S.ivf_knn(emb, q, k=5, n_centroids=16, nprobe=4)
+    bf_rows = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in bf.collect()}
+    ivf_rows = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in ivf.collect()}
+    agree = [k for k in ivf_rows if k in bf_rows]
+    assert all(ivf_rows[k] == bf_rows[k] for k in agree)  # exact cos on shared pairs
+    # nprobe=4 of 16 clusters scans ~25% of the corpus; kmeans structure
+    # should recover well over half of the true top-5
+    recall = len(agree) / max(len(bf_rows), 1)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ivf_train_deterministic(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = S.ivf_train(emb, n_centroids=8, iters=1)
+    c2 = S.ivf_train(emb, n_centroids=8, iters=1)
+    assert np.array_equal(c1, c2)
+
+
 def test_multimodal_decode_plumbing(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
     media = MM.derive_media(d, "doc_id", "text")
