@@ -61,6 +61,7 @@ class CrawlConfig:
     bloom_shards: int = 8
     bloom_bits_per_shard: int = 1 << 20
     max_budget: int | None = None  # literal WindowGroupLimit bound; computed once per crawl
+    compact_every: int = 64  # rewrite the full seen set every N rounds (bounds delta-scan fan-in)
 
 
 @dataclass
@@ -110,6 +111,7 @@ def run_round(
     rnd: int,
     seed_hashes: list[int],
     bloom_probe=None,
+    compact: bool = False,
 ) -> dict[str, DataFrame]:
     """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}.
 
@@ -229,7 +231,7 @@ def run_round(
                 "partition_id", "rows")
     )
 
-    return {
+    out_tables = {
         "ordering": ordering,
         "results": results,
         "frontier": frontier_next,
@@ -238,6 +240,11 @@ def run_round(
         "_persisted": [deq, ex, links, frontier_next],  # caller unpersists after commit
         "_observations": obs,  # stage → Observation; read AFTER the writes ran
     }
+    if compact:
+        # periodic full rewrite of the seen set in THIS round's atomic
+        # commit; read_union then scans [seen_full] + later deltas only
+        out_tables["seen_full"] = seen_next
+    return out_tables
 
 
 # --------------------------------------------------------------------------
@@ -296,6 +303,7 @@ def run_crawl(
         out = run_round(
             spark, corpus, frontier, seen, robots, host_budget, cfg, rnd, seed_hashes,
             bloom_probe=probe,
+            compact=cfg.compact_every > 0 and (rnd + 1) % cfg.compact_every == 0,
         )
         if cfg.use_bloom:
             new_shards = bloom.build_shards(

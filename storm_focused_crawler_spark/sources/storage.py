@@ -84,10 +84,26 @@ class ParquetSnapshotStore:
         only its delta, so a 1000-round crawl never rewrites the
         accumulated set (O(delta) per round, not O(total)); readers get
         the full state as a single parquet scan over all round dirs.
+
+        If some round ≤ upto committed a ``<table>_full`` compaction
+        (driver CrawlConfig.compact_every), the scan starts there and
+        unions only the deltas after it — bounding file-listing cost
+        for arbitrarily long crawls.
         """
         if not os.path.exists(self._manifest(upto)):
             raise FileNotFoundError(f"round {upto} not committed in {self.root}")
-        paths = [os.path.join(self._round_dir(r), table) for r in range(upto + 1)]
+        base = None
+        for r in range(upto, -1, -1):
+            if f"{table}_full" in self.manifest(r)["tables"]:
+                base = r
+                break
+        paths = []
+        if base is not None:
+            paths.append(os.path.join(self._round_dir(base), f"{table}_full"))
+            start = base + 1
+        else:
+            start = 0
+        paths += [os.path.join(self._round_dir(r), table) for r in range(start, upto + 1)]
         return spark.read.parquet(*paths)
 
     def latest_round(self) -> int | None:
