@@ -31,21 +31,41 @@ def dedup_exact(spark, sf_dir):
 
 @op(
     "dedup_ngram_jaccard",
+    # Prefix-filtered exact jaccard (PPJoin-style, public literature):
+    # under ANY common total order of shingles, two sets with
+    # jaccard >= t must share at least one element within each other's
+    # first n - ceil(t*n) + 1 shingles.  Rare-first ordering (global df
+    # asc, then shingle) makes the candidate join's key groups small —
+    # the hot-shingle quadratic blowup of a naive shingle self-join
+    # cannot happen.  Candidates are then verified with the EXACT
+    # intersection over full shingle sets, so the output is identical
+    # to the naive plan.
     """WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
                i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS shingles
       FROM documents WHERE len(string_split(text,' ')) >= 3),
     ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
-             any_value(a.n) AS na, any_value(b.n) AS nb
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
+    df AS (SELECT s, count(*) AS dfreq FROM ex GROUP BY s),
+    ranked AS (
+      SELECT ex.doc_id, ex.s, ex.n,
+             row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.dfreq ASC, ex.s ASC) AS r
+      FROM ex JOIN df USING (s)),
+    prefix AS (SELECT doc_id, s, n FROM ranked WHERE r <= n - ceil(0.3 * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE a.n >= ceil(0.3 * b.n) AND b.n >= ceil(0.3 * a.n)),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
     SELECT id_a, id_b, round(inter / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
-    FROM pairs WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
+    FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    t = 0.3
     d = _t(spark, sf_dir, "documents")
     sh = d.select("doc_id", D.shingles_col(F.col("text")).alias("shingles")).filter(
         F.size("shingles") >= 1
@@ -53,17 +73,34 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
     )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("dfreq"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("dfreq").asc(), F.col("s").asc())
+    prefix = (
+        ex.join(dfreq, "s")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
+        .select("doc_id", "s", "n")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("inter"), F.any_value("a.n").alias("na"),
-             F.any_value("b.n").alias("nb"))
+        # length filter: |A| >= t*|B| is necessary for jaccard >= t
+        .filter(
+            (F.col("a.n") >= F.ceil(t * F.col("b.n")))
+            & (F.col("b.n") >= F.ceil(t * F.col("a.n")))
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    v = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("na", F.size("sa"))
+        .withColumn("nb", F.size("sb"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-    return pairs.filter(jac >= 0.3).select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    )
+    return v.filter(jac >= t).select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
 
 
 @op("dedup_minhash_lsh", None)  # xxhash64-based sig — pytest-locked, rows-only here

@@ -46,6 +46,9 @@ urls AS (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp semantics must match the DuckDB oracle regardless of the
+    # harness session's default timezone (runtime-settable conf)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
