@@ -159,6 +159,18 @@ def run_bench(spark, sf_dir: str) -> dict:
     crawl = bench_crawl(spark, sf_dir)
     timings["crawl_e2e"] = round(crawl["wall_sec"], 3)
 
+    # scale-bound frontier pipeline (canon → hash → seen anti-join →
+    # salted politeness dequeue) over 16M synthetic skewed URLs — the
+    # same job BENCH/run_scaling.py measures across parallelism levels
+    from BENCH.scale_worker import run_iteration
+
+    n_frontier = 16_000_000
+    run_iteration(spark, n_frontier // 8, 100_000)  # warm the UDF path
+    t0 = time.time()
+    run_iteration(spark, n_frontier, 100_000)
+    frontier_sec = round(time.time() - t0, 3)
+    timings["frontier_pipeline_16m"] = frontier_sec
+
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return {
@@ -169,6 +181,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         "sf": float(m.group(1)) if m else None,
         "urls_per_sec": round(crawl["urls_per_sec"], 2),
         "crawl_results_rows": crawl["results_rows"],
+        "frontier_urls_per_sec": round(n_frontier / frontier_sec, 1),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
 
