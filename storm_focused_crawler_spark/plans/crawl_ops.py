@@ -63,6 +63,12 @@ def extract_links_op(spark, sf_dir):
     )
 
 
+# SURVEY §2.2 names these `extract_text` / `extract_links`; register the
+# canonical ids as aliases of the _op variants (same callables)
+op("extract_text", None)(extract_text_op)
+op("extract_links", None)(extract_links_op)
+
+
 @op("score_relevance", None)
 def score_relevance(spark, sf_dir):
     p = _pages(spark, sf_dir).dropDuplicates(["url"])
