@@ -224,11 +224,19 @@ def run_round(
     )
 
     # --- per-partition lineage metrics (north rule) -------------------------
+    # all three inputs are persisted, so these aggs scan the cache only
+    def _pp(df: DataFrame, stage: str) -> DataFrame:
+        return (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .select(F.lit(rnd).alias("round"), F.lit(stage).alias("stage"),
+                    "partition_id", "rows")
+        )
+
     metrics = (
-        frontier_next.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count("*").alias("rows"))
-        .select(F.lit(rnd).alias("round"), F.lit("frontier_next").alias("stage"),
-                "partition_id", "rows")
+        _pp(frontier_next, "frontier_next")
+        .unionByName(_pp(deq, "dequeued"))
+        .unionByName(_pp(links, "links"))
     )
 
     out_tables = {
