@@ -18,9 +18,9 @@ hot host, the rest Zipf-ish over 1000 hosts) so the two-phase salted
 top-k in operators/frontier.py is exercised exactly where Storm's
 fieldsGrouping(host) would have hot-spotted one executor.
 
-Usage: python BENCH/scale_worker.py --cpus 8 --rows 4000000
+Usage: python BENCH/scale_worker.py --cpus 8 --rows 16000000
 Prints one JSON line: {"cpus": 8, "rows": R, "iters": [sec,...],
-"median_sec": s, "urls_per_sec": r}.
+"min_sec": s, "urls_per_sec": r}.
 """
 
 from __future__ import annotations

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -62,13 +62,6 @@ class CrawlConfig:
     bloom_bits_per_shard: int = 1 << 20
     max_budget: int | None = None  # literal WindowGroupLimit bound; computed once per crawl
     compact_every: int = 64  # rewrite the full seen set every N rounds (bounds delta-scan fan-in)
-
-
-@dataclass
-class RoundStats:
-    rnd: int
-    counts: dict[str, int] = field(default_factory=dict)
-    wall_sec: float = 0.0
 
 
 # --------------------------------------------------------------------------
