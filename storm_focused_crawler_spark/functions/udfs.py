@@ -45,6 +45,15 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return out
 
 
+# NOTE — a JVM-side fast-path split (filter already-canonical rows with
+# regexp_like, route only the rest to Python) was tried and REJECTED:
+# java.util.regex evaluates this pattern at ~7.5µs/URL vs ~0.2µs for
+# pandas' vectorized str.match, so the "avoid the Python boundary" plan
+# lost 15× to the Arrow-batched UDF below on 16M URLs.  The fast path
+# therefore lives INSIDE the UDF (vectorized match, per-element python
+# only for the noisy minority).
+
+
 def url_hash_col(url: Column) -> Column:
     """§2.1-2: 64-bit xxhash64(canon_url), seed 42 (Spark default)."""
     return F.xxhash64(url)
