@@ -262,14 +262,19 @@ def run_crawl(
 ) -> ParquetSnapshotStore:
     import time
 
+    import dataclasses
+
     store = ParquetSnapshotStore(os.path.join(workdir, "state"))
     corpus_path = prepare_corpus(spark, fixture_paths["pages"], workdir, cfg.url_buckets)
     corpus = spark.read.parquet(corpus_path)
     robots = spark.read.parquet(fixture_paths["robots"])
     host_budget = spark.read.parquet(fixture_paths["host_budget"])
     if cfg.max_budget is None:
+        # never mutate the caller's cfg: a reused CrawlConfig against a
+        # different host_budget table would carry a stale literal bound
+        # (dequeue asserts the literal dominates the table's max budget)
         row = host_budget.agg(F.max("budget")).collect()[0][0]
-        cfg.max_budget = max(int(row or 0), 2)
+        cfg = dataclasses.replace(cfg, max_budget=max(int(row or 0), 2))
     with open(fixture_paths["seeds"]) as f:
         seeds = [spec.canon(u) for u in json.load(f)]
     seed_hashes = [spec.xxh64(u) for u in seeds]

@@ -93,6 +93,17 @@ def dequeue(
         # build; callers on a hot path pass it explicitly (CrawlConfig)
         row = host_budget.agg(F.max("budget")).collect()[0][0]
         max_budget = max(int(row or 0), DEFAULT_BUDGET)
+    else:
+        # the literal WindowGroupLimit bound MUST dominate every row's
+        # budget or rows below the real per-host budget are silently
+        # pruned; cheap scalar check (host_budget is dim-table-sized)
+        row = host_budget.agg(F.max("budget")).collect()[0][0]
+        table_max = max(int(row or 0), DEFAULT_BUDGET)
+        if max_budget < table_max:
+            raise ValueError(
+                f"max_budget literal {max_budget} < host_budget table max "
+                f"{table_max}; dequeue would under-schedule hosts"
+            )
     b = elig.join(F.broadcast(host_budget), "host", "left").withColumn(
         "budget", F.coalesce(F.col("budget"), F.lit(DEFAULT_BUDGET))
     )

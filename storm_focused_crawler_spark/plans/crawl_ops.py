@@ -44,7 +44,12 @@ def url_canonicalize(spark, sf_dir):
 
 @op("hash64_url", None)
 def hash64_url(spark, sf_dir):
-    return _urls(spark, sf_dir).select("url", F.xxhash64("url").alias("url_hash"))
+    # SURVEY §2.1-2: h(url) = xxhash64(canon(url), seed=42) — canonicalize
+    # FIRST (pytest-locked to spec.xxh64(spec.canon(u)) in test_spec.py)
+    u = _urls(spark, sf_dir)
+    return u.select(
+        "url", F.xxhash64(canonicalize_udf(F.col("url"))).alias("url_hash")
+    )
 
 
 @op("extract_text_op", None)

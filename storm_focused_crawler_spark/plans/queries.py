@@ -46,9 +46,16 @@ urls AS (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # timestamp semantics must match the DuckDB oracle regardless of the
-    # harness session's default timezone (runtime-settable conf)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # DOCUMENTED SESSION OVERRIDE: timestamp semantics (date_trunc,
+    # date_format) must match the DuckDB oracle regardless of the host
+    # session's default timezone, so these ops pin the session to UTC.
+    # Our own sessions (sources/session.get_spark, bench.build_session,
+    # tests/conftest) are built UTC already — this only fires when the
+    # driver harness hands us a non-UTC session, and it is intentional
+    # for every query in this registry (the correctness contract is
+    # "identical values to the oracle", which requires one timezone).
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -279,23 +286,46 @@ def join_asof_warc(spark, sf_dir):
 
 @op(
     "join_range_ts",
-    """SELECT e.event_id, count(*) AS n_orders
-    FROM events e JOIN orders o
-      ON date_trunc('day', e.ts) = date_trunc('day', o.o_orderdate)
-     AND o.o_orderdate >= e.ts - INTERVAL 2 HOUR AND o.o_orderdate < e.ts
-    GROUP BY e.event_id""",
+    """WITH f AS (SELECT event_id, ts, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hb
+                  FROM events WHERE event_type = 'click'),
+         e AS (SELECT ts AS ets, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hb
+               FROM events WHERE event_type <> 'click'),
+         fx AS (SELECT event_id, ts, hb - k AS hbk FROM f, unnest([0, 1, 2]) AS t(k))
+    SELECT fx.event_id, count(*) AS n_prior
+    FROM fx JOIN e ON e.hb = fx.hbk
+                  AND e.ets >= fx.ts - INTERVAL 2 HOUR AND e.ets < fx.ts
+    GROUP BY fx.event_id""",
 )
 def join_range_ts(spark, sf_dir):
-    # bucketized range join: coarse equi-join on day defuses the
-    # nested-loop explosion, range predicate applies within bucket
-    e = _t(spark, sf_dir, "events")
-    o = _t(spark, sf_dir, "orders")
-    cond = (
-        (F.date_trunc("day", e.ts) == F.date_trunc("day", o.o_orderdate))
-        & (o.o_orderdate >= e.ts - F.expr("INTERVAL 2 HOURS"))
-        & (o.o_orderdate < e.ts)
+    """Range join: per click-event, count other events in its prior-2h
+    politeness interval.  Bucketized to defuse the nested loop: both
+    sides get an integer hour bucket floor(epoch/3600); the 2h probe
+    interval spans at most 3 hour buckets, so each probe row explodes
+    to exactly those 3 candidate buckets (correct across midnight —
+    the round-1 day-trunc plan could never match intervals spanning a
+    day boundary and passed vacuously on 0 rows).  Equi-join on the
+    bucket, exact range predicate inside.  Each matching (f, e) pair
+    appears once: e has ONE bucket and f's 3 exploded buckets are
+    distinct.  At 100 TB this is a shuffle hash join on a dense int
+    key — no cross product (plan-asserted in tests/test_plans.py)."""
+    ev = _t(spark, sf_dir, "events")
+    hb = (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint")
+    f = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "ts", hb.alias("hb"))
+        .withColumn("k", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+        .select("event_id", "ts", (F.col("hb") - F.col("k")).alias("hbk"))
     )
-    return e.join(o, cond).groupBy("event_id").agg(F.count("*").alias("n_orders"))
+    e = ev.filter(F.col("event_type") != "click").select(
+        F.col("ts").alias("ets"), hb.alias("hb")
+    )
+    joined = f.join(
+        e,
+        (e.hb == f.hbk)
+        & (F.col("ets") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("ets") < F.col("ts")),
+    )
+    return joined.groupBy("event_id").agg(F.count("*").alias("n_prior"))
 
 
 # ======================= aggregations =======================================
@@ -580,33 +610,45 @@ def stateful_seen_set(spark, sf_dir):
     file-streamed URL feed derived from documents.  Rows-only oracle —
     pytest locks exactly-once emission (tests/test_streaming.py)."""
     import os
+    import shutil
     import tempfile
     import uuid
 
     feed = tempfile.mkdtemp(prefix="seenfeed_")
-    u = _urls(spark, sf_dir).select("url")
-    # two overlapping micro-batch files → the state actually dedups
-    u.limit(300).write.mode("overwrite").parquet(os.path.join(feed, "b0"))
-    u.limit(500).write.mode("overwrite").parquet(os.path.join(feed, "b1"))
+    try:
+        # deterministic overlapping micro-batches: Spark's bare limit()
+        # picks partition-layout-dependent rows, so rank by a total
+        # order first (hash, url) — the locked row set cannot drift
+        u = _urls(spark, sf_dir).select("url")
+        ranked = u.orderBy(F.xxhash64("url"), F.col("url")).limit(500)
+        ranked.limit(300).write.mode("overwrite").parquet(os.path.join(feed, "b0"))
+        ranked.write.mode("overwrite").parquet(os.path.join(feed, "b1"))
 
-    from storm_focused_crawler_spark.streaming.live import seen_filter_stream
+        from storm_focused_crawler_spark.streaming.live import seen_filter_stream
 
-    stream = (
-        spark.readStream.schema("url string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed + "/*")
-    )
-    name = f"seen_{uuid.uuid4().hex[:8]}"
-    q = (
-        seen_filter_stream(stream, n_shards=8)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.sql(f"SELECT url, url_hash, shard FROM {name} ORDER BY url")
+        stream = (
+            spark.readStream.schema("url string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed + "/*")
+        )
+        name = f"seen_{uuid.uuid4().hex[:8]}"
+        q = (
+            seen_filter_stream(stream, n_shards=8)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(120)
+        assert finished, "stateful_seen_set stream did not drain within 120s"
+        # materialize off the memory sink before the feed dir is removed
+        rows = spark.sql(f"SELECT url, url_hash, shard FROM {name} ORDER BY url")
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
 
 
 @op(

@@ -66,9 +66,25 @@ class ParquetSnapshotStore:
         for name in tables:
             os.rename(os.path.join(tmp, name), os.path.join(rdir, name))
         os.rmdir(tmp)
+        # compaction pointer: carry forward the previous round's map and
+        # record any <table>_full committed THIS round, so read_union
+        # resolves its base in O(1) manifest reads instead of scanning
+        # every round's manifest on every call (O(rounds^2) over a crawl)
+        compact: dict[str, int] = {}
+        if rnd > 0 and os.path.exists(self._manifest(rnd - 1)):
+            compact = {
+                k: int(v) for k, v in self.manifest(rnd - 1).get("compact", {}).items()
+            }
+        for name in tables:
+            if name.endswith("_full"):
+                compact[name[: -len("_full")]] = rnd
         mtmp = self._manifest(rnd) + ".tmp"
         with open(mtmp, "w") as f:
-            json.dump({"round": rnd, "tables": counts, "committed_at": time.time()}, f)
+            json.dump(
+                {"round": rnd, "tables": counts, "compact": compact,
+                 "committed_at": time.time()},
+                f,
+            )
         os.rename(mtmp, self._manifest(rnd))
         return counts
 
@@ -92,11 +108,16 @@ class ParquetSnapshotStore:
         """
         if not os.path.exists(self._manifest(upto)):
             raise FileNotFoundError(f"round {upto} not committed in {self.root}")
-        base = None
-        for r in range(upto, -1, -1):
-            if f"{table}_full" in self.manifest(r)["tables"]:
-                base = r
-                break
+        top = self.manifest(upto)
+        if "compact" in top:
+            # O(1): the manifest carries the latest compaction round
+            base = top["compact"].get(table)
+        else:  # state dirs written before the pointer existed: full scan
+            base = None
+            for r in range(upto, -1, -1):
+                if f"{table}_full" in self.manifest(r)["tables"]:
+                    base = r
+                    break
         paths = []
         if base is not None:
             paths.append(os.path.join(self._round_dir(base), f"{table}_full"))
