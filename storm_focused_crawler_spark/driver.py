@@ -326,11 +326,18 @@ def run_crawl(
         for df in persisted:
             df.unpersist()
         # stage-level lineage, collected by the Observation API during the
-        # writes above (no extra jobs); persisted next to the row counts
-        stage_metrics = {
-            name: {k: (int(v) if v is not None else 0) for k, v in o.get.items()}
-            for name, o in observations.items()
-        }
+        # writes above (no extra jobs); persisted next to the row counts.
+        # An empty round can have its CollectMetrics node eliminated by
+        # AQE empty-relation propagation — that stage's lineage is then
+        # definitionally all-zero, not an error.
+        stage_metrics = {}
+        for name, o in observations.items():
+            try:
+                stage_metrics[name] = {
+                    k: (int(v) if v is not None else 0) for k, v in o.get.items()
+                }
+            except Exception:
+                stage_metrics[name] = {"rows": 0}
         store.amend_manifest(
             rnd, {"wall_sec": round(time.time() - t0, 3), "stages": stage_metrics}
         )

@@ -54,7 +54,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver harness hands us a non-UTC session, and it is intentional
     # for every query in this registry (the correctness contract is
     # "identical values to the oracle", which requires one timezone).
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
