@@ -124,15 +124,11 @@ def dedup_simhash(spark, sf_dir):
           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    # banded-LSH candidates + exact verify; pytest locks pair-for-pair
+    # equality with the all-pairs plan (the oracle above) at both
+    # fixture scales — see operators/dedup.embedding_near_pairs
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = S.cosine_col(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 0.4)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
-    )
+    return D.embedding_near_pairs(e, threshold=0.4, dim=64)
 
 
 # ======================= similarity search ==================================

@@ -82,6 +82,32 @@ def test_ivf_knn_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"recall {recall}"
 
 
+@pytest.mark.parametrize("fixture", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_embedding_near_pairs_equals_all_pairs(spark, fixture):
+    """The banded-LSH plan must be pair-for-pair IDENTICAL to the naive
+    all-pairs plan at both fixture scales (deterministic planes + data
+    make this exact, not probabilistic) — VERDICT r01 'Next round' #3."""
+    emb = spark.read.parquet(f"{fixture}/embeddings.parquet")
+    banded = {(r["id_a"], r["id_b"]): r["cos"]
+              for r in D.embedding_near_pairs(emb, threshold=0.4, dim=64).collect()}
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = S.cosine_col(F.col("va"), F.col("vb"))
+    naive = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in a.join(b, F.col("id_a") < F.col("id_b")).filter(cos >= 0.4)
+             .select("id_a", "id_b", F.round(cos, 6).alias("cos")).collect()}
+    assert banded == naive
+    assert len(banded) > 0, "vacuous: fixture has no qualifying pairs"
+
+
+def test_embedding_near_pairs_plan_has_no_cross_product(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = D.embedding_near_pairs(emb, threshold=0.4, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_train_deterministic(spark, sf_dir):
     import numpy as np
 
