@@ -60,6 +60,9 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_shards: int = 8
     bloom_bits_per_shard: int = 1 << 20
+    # broadcast the bitsets while total ≤ this; shard-routed probe beyond
+    # (the 10^10-URL / ~12 GiB-bitset path — bloom.probe_routed)
+    bloom_broadcast_max_bytes: int = 64 << 20
     max_budget: int | None = None  # literal WindowGroupLimit bound; computed once per crawl
     compact_every: int = 64  # rewrite the full seen set every N rounds (bounds delta-scan fan-in)
 
@@ -293,18 +296,28 @@ def run_crawl(
 
     from storm_focused_crawler_spark.operators import bloom
 
+    bloom_cfg = {"n_shards": cfg.bloom_shards, "n_bits": cfg.bloom_bits_per_shard}
     for rnd in range(start, cfg.rounds):
         t0 = time.time()
-        have_prev_bloom = (
-            cfg.use_bloom and rnd > 0 and "bloom" in store.manifest(rnd - 1)["tables"]
-        )
+        # a previous bloom is usable only if it exists AND was built with
+        # the same shard/bit config (ADVICE r01: resuming with changed
+        # bloom_shards/bits must not OR incompatible bitsets; resuming
+        # with bloom newly enabled must not treat a delta-only filter as
+        # the full history)
+        have_prev_bloom = False
+        if cfg.use_bloom and rnd > 0:
+            prev_m = store.manifest(rnd - 1)
+            have_prev_bloom = (
+                "bloom" in prev_m["tables"] and prev_m.get("bloom_cfg") == bloom_cfg
+            )
         probe = None
         if have_prev_bloom:
             # shards snapshot committed by the previous round; advisory
             # only — eligible() re-checks positives exactly (§2.1-3)
             shards = store.read(spark, rnd - 1, "bloom")
-            probe = bloom.probe_col(
-                spark, shards, cfg.bloom_shards, cfg.bloom_bits_per_shard
+            probe = bloom.probe_transform(
+                spark, shards, cfg.bloom_shards, cfg.bloom_bits_per_shard,
+                broadcast_max_bytes=cfg.bloom_broadcast_max_bytes,
             )
         out = run_round(
             spark, corpus, frontier, seen, robots, host_budget, cfg, rnd, seed_hashes,
@@ -312,12 +325,22 @@ def run_crawl(
             compact=cfg.compact_every > 0 and (rnd + 1) % cfg.compact_every == 0,
         )
         if cfg.use_bloom:
-            new_shards = bloom.build_shards(
-                out["seen"], cfg.bloom_shards, cfg.bloom_bits_per_shard
-            )
             if have_prev_bloom:
+                # incremental: hash only this round's delta, OR into prev
                 new_shards = bloom.merge_shards(
-                    store.read(spark, rnd - 1, "bloom"), new_shards
+                    store.read(spark, rnd - 1, "bloom"),
+                    bloom.build_shards(
+                        out["seen"], cfg.bloom_shards, cfg.bloom_bits_per_shard
+                    ),
+                )
+            else:
+                # no usable prior filter (bloom newly enabled mid-crawl,
+                # or config changed): rebuild from the FULL seen set so
+                # pre-bloom rounds stay covered — a delta-only filter
+                # would route their URLs past the anti-join as sure_new
+                full = seen.select("url_hash").unionByName(out["seen"].select("url_hash"))
+                new_shards = bloom.build_shards(
+                    full, cfg.bloom_shards, cfg.bloom_bits_per_shard
                 )
             out["bloom"] = new_shards
         persisted = out.pop("_persisted")
@@ -338,9 +361,10 @@ def run_crawl(
                 }
             except Exception:
                 stage_metrics[name] = {"rows": 0}
-        store.amend_manifest(
-            rnd, {"wall_sec": round(time.time() - t0, 3), "stages": stage_metrics}
-        )
+        amend = {"wall_sec": round(time.time() - t0, 3), "stages": stage_metrics}
+        if cfg.use_bloom:
+            amend["bloom_cfg"] = bloom_cfg
+        store.amend_manifest(rnd, amend)
         # cut lineage: next round reads the committed snapshot
         frontier = store.read(spark, rnd, "frontier")
         seen = store.read_union(spark, rnd, "seen")

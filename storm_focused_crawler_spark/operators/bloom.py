@@ -16,10 +16,25 @@ probe-positive rows go to the exact anti-join, which remains the
 membership authority.  At a 10^10 frontier this cuts the anti-join's
 probe side to the ~0.1% of rows that are Bloom-positive.
 
-Sizing: bits_per_shard=2^23 (1 MiB) × 64 shards ≈ 64 MiB broadcast for
-~5×10^8 seen URLs at FPR≈1% with k=5 — broadcastable; beyond that,
-raise n_shards and probe per-shard only (shard key is known on both
-sides, so each executor only needs the shards its partition hashes to).
+Two probe strategies share the same bitsets:
+
+  * ``probe_transform`` broadcast mode — collect all shards into one
+    broadcast dict, probe via scalar pandas UDF.  Right while the total
+    bitset fits comfortably in executor memory: bits_per_shard=2^23
+    (1 MiB) × 64 shards ≈ 64 MiB for ~5×10^8 seen URLs at FPR≈1%, k=5.
+  * ``probe_transform`` routed mode — co-partition the frontier by
+    shard id and cogroup it with the shard table, so each task loads
+    ONLY its own shard's bitset (one Arrow batch group per shard;
+    numpy probe inside).  This is the 10^10-URL path: at 1% FPR that
+    seen set needs ~12 GiB of bitset — unbroadcastable — but split
+    over 1024 shards it is ~12 MiB per shard, and a task touches
+    exactly one.  Cost: one shuffle of the (narrow) frontier keyed by
+    shard — at that scale strictly cheaper than shipping 12 GiB to
+    every executor.
+
+The driver picks automatically: broadcast while
+``n_shards · n_bits/8 ≤ CrawlConfig.bloom_broadcast_max_bytes``,
+routed beyond (tests force both and assert identical output).
 """
 
 from __future__ import annotations
@@ -28,6 +43,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 K_HASHES = 5
 
@@ -89,11 +105,70 @@ def merge_shards(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("shard").applyInPandas(orr, "shard int, bits binary, n long")
 
 
+def probe_transform(
+    spark: SparkSession,
+    shards: DataFrame,
+    n_shards: int,
+    n_bits: int,
+    broadcast_max_bytes: int = 64 << 20,
+):
+    """DataFrame transformer: df → df + boolean ``_maybe`` column.
+
+    Picks broadcast vs shard-routed probing by total bitset size (see
+    module docstring).  Input df must carry ``url_hash``.
+    """
+    total_bytes = n_shards * (n_bits // 8)
+    if total_bytes <= broadcast_max_bytes:
+        col_fn = probe_col(spark, shards, n_shards, n_bits)
+        return lambda df: df.withColumn("_maybe", col_fn(F.col("url_hash")))
+    return lambda df: probe_routed(df, shards, n_shards, n_bits)
+
+
+def probe_routed(
+    df: DataFrame, shards: DataFrame, n_shards: int, n_bits: int
+) -> DataFrame:
+    """Shard-routed probe: adds ``_maybe`` without broadcasting any bitset.
+
+    The frontier is hash-partitioned by shard id and cogrouped with the
+    shard table, so each task receives (its frontier rows, its ONE
+    bitset row) — per-executor memory is bounded by shards-per-task,
+    never the full filter.  Probe is the same vectorized numpy test as
+    the broadcast path (identical output, property-tested).
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("_maybe", T.BooleanType())]
+    )
+
+    def probe(fr: pd.DataFrame, sh: pd.DataFrame) -> pd.DataFrame:
+        fr = fr.drop(columns=["_shard"])
+        if fr.empty:
+            fr["_maybe"] = pd.Series([], dtype=bool)
+            return fr
+        if sh.empty:  # shard never built → nothing seen in it
+            fr["_maybe"] = False
+            return fr
+        bits = np.frombuffer(sh["bits"].iloc[0], dtype=np.uint8)
+        h = fr["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        fr["_maybe"] = _test_bits(bits, h, n_bits)
+        return fr
+
+    keyed = df.withColumn(
+        "_shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+    )
+    return (
+        keyed.groupBy("_shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
 def probe_col(spark: SparkSession, shards: DataFrame, n_shards: int, n_bits: int):
     """Returns a column-function: url_hash → maybe_seen (vectorized probe).
 
     Broadcasts the collected bitsets once; the pandas UDF probes numpy-
     side.  Use as: df.withColumn('maybe_seen', probe(F.col('url_hash'))).
+    Only valid while the total bitset is broadcast-sized — the routed
+    twin above is the beyond-broadcast path.
     """
     blobs = {int(r["shard"]): np.frombuffer(r["bits"], dtype=np.uint8) for r in shards.collect()}
     empty = np.zeros(n_bits // 8, dtype=np.uint8)

@@ -45,14 +45,16 @@ def eligible(
 
     seen is probed by url_hash with an exact LEFT ANTI join — the Bloom
     sidecar (operators/bloom.py) pre-filters the probe side when
-    *bloom_probe* is given, but the anti-join stays the membership
-    authority (§2.1-3): Bloom-negative rows are DEFINITIVELY unseen (no
-    false negatives, property-tested) and skip the join entirely;
-    only Bloom-positive rows — ~FPR·|frontier| + |actually seen| —
-    touch the 10^10-hash seen table.
+    *bloom_probe* is given (a DataFrame transformer adding a boolean
+    ``_maybe`` column — broadcast or shard-routed, bloom.probe_transform),
+    but the anti-join stays the membership authority (§2.1-3):
+    Bloom-negative rows are DEFINITIVELY unseen (no false negatives,
+    property-tested) and skip the join entirely; only Bloom-positive
+    rows — ~FPR·|frontier| + |actually seen| — touch the 10^10-hash
+    seen table.
     """
     if bloom_probe is not None:
-        fr = frontier.withColumn("_maybe", bloom_probe(F.col("url_hash")))
+        fr = bloom_probe(frontier)
         sure_new = fr.filter(~F.col("_maybe")).drop("_maybe")
         candidates = fr.filter(F.col("_maybe")).drop("_maybe")
         e = candidates.join(seen.select("url_hash"), "url_hash", "left_anti").unionByName(

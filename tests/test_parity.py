@@ -90,6 +90,47 @@ def test_crawl_parity_with_bloom(spark, fixture_paths, oracle_result, tmp_path):
     assert set(results) == {t[2] for t in oracle_result.results}
 
 
+def test_crawl_parity_with_routed_bloom(spark, fixture_paths, oracle_result, tmp_path):
+    """Same parity gate with the probe FORCED onto the shard-routed
+    (beyond-broadcast) path — the 10^10-URL configuration."""
+    wd = str(tmp_path / "bloomrouted")
+    cfg = drv.CrawlConfig(
+        rounds=ROUNDS, capacity=CAPACITY,
+        keywords=tuple(gen_pages.topic_keywords()),
+        use_bloom=True, bloom_shards=4, bloom_bits_per_shard=1 << 16,
+        bloom_broadcast_max_bytes=0,  # force probe_routed
+    )
+    store = drv.run_crawl(spark, fixture_paths, cfg, wd)
+    ordering, results, seen = _collect(spark, store)
+    assert ordering == sorted(oracle_result.ordering)
+    assert seen == oracle_result.seen_hashes
+    assert set(results) == {t[2] for t in oracle_result.results}
+
+
+def test_bloom_enabled_mid_crawl_covers_prebloom_rounds(
+    spark, fixture_paths, oracle_result, tmp_path
+):
+    """ADVICE r01 (medium): resuming an existing workdir with use_bloom
+    newly enabled must rebuild the filter from the FULL seen set, so
+    URLs seen in pre-bloom rounds are never re-emitted."""
+    kw = tuple(gen_pages.topic_keywords())
+    wd = str(tmp_path / "bloomlate")
+    drv.run_crawl(spark, fixture_paths,
+                  drv.CrawlConfig(rounds=1, capacity=CAPACITY, keywords=kw), wd)
+    cfg = drv.CrawlConfig(
+        rounds=ROUNDS, capacity=CAPACITY, keywords=kw,
+        use_bloom=True, bloom_shards=4, bloom_bits_per_shard=1 << 16,
+    )
+    store = drv.run_crawl(spark, fixture_paths, cfg, wd, resume=True)
+    ordering, results, seen = _collect(spark, store)
+    assert ordering == sorted(oracle_result.ordering)  # no re-emission
+    assert seen == oracle_result.seen_hashes
+    # manifest must record the filter config for future compat checks
+    assert store.manifest(ROUNDS - 1)["bloom_cfg"] == {
+        "n_shards": 4, "n_bits": 1 << 16
+    }
+
+
 def test_extracted_text_matches_corpus(spark, fixture_paths, tmp_path):
     """extract_text(html) must equal the corpus text column, byte-identical."""
     from pyspark.sql import functions as F
