@@ -167,14 +167,20 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     # scale-bound frontier pipeline (canon → hash → seen anti-join →
     # salted politeness dequeue) over 16M synthetic skewed URLs — the
-    # same job BENCH/run_scaling.py measures across parallelism levels
+    # same job BENCH/run_scaling.py measures across parallelism levels.
+    # min-of-3 fresh timings: this host's neighbor noise varies identical
+    # jobs 3-6x (BENCH/BASELINE.md), and BENCH_r01 recorded a single
+    # noisy 54.9s against the repo's min-of-9 8.6s baseline — the
+    # minimum is the engine's actual cost (VERDICT r01 'Next round' #4)
     from BENCH.scale_worker import run_iteration
 
     n_frontier = 16_000_000
     run_iteration(spark, n_frontier // 8, 100_000)  # warm the UDF path
-    t0 = time.time()
-    run_iteration(spark, n_frontier, 100_000)
-    frontier_sec = round(time.time() - t0, 3)
+    frontier_sec = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        run_iteration(spark, n_frontier, 100_000)
+        frontier_sec = min(frontier_sec, round(time.time() - t0, 3))
     timings["frontier_pipeline_16m"] = frontier_sec
 
     total = round(sum(timings.values()), 3)

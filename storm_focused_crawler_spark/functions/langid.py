@@ -1,0 +1,221 @@
+"""Character-n-gram language identification (en/de/fr/es/zh).
+
+Replaces the round-1 three-stopword toy (VERDICT r01 'What's missing'
+#3).  The method is the classic character-n-gram profile approach
+(Cavnar & Trenkle, "N-Gram-Based Text Categorization", 1994 — public
+knowledge; the reference shipped a language-detection library in its
+ArticleExtractionBolt [R], SURVEY.md §0): each language gets a profile
+of its top-K character 1-3-grams ranked by frequency over a small
+embedded seed corpus (unigrams carry CJK, where 3-grams are too sparse
+to overlap; bigrams/trigrams separate the European languages); a
+document is classified as the argmax over languages of the summed
+rank-weights of its distinct n-grams.
+
+Everything is engine-agnostic by construction:
+
+  * profiles are pure data — (lang, trigram, integer weight) rows
+    derived deterministically at import from the seed corpora below;
+  * trigram extraction and scoring are pure relational algebra
+    (substr/explode/join/groupBy/argmax) with INTEGER sums, so the
+    Spark plan and the DuckDB oracle compute identical values — no
+    floats, no summation-order hazards;
+  * at scale the profile table (≤ K·5 rows) broadcasts, documents
+    shuffle once on (doc_id) for the per-doc aggregate.
+
+The seed corpora are short everyday-prose samples written for this
+module (not quoted from any corpus); held-out golden sentences in
+tests/test_langid.py lock accuracy ≥ 0.95.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+PROFILE_TOP_K = 400
+
+SEED_CORPUS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog. this is a simple "
+        "sentence written in english. we are building a system that can "
+        "recognize the language of a short text. many words in english end "
+        "with ing and the most common word is the. people often say that "
+        "practice makes perfect. the children play in the garden and the "
+        "weather is nice today. reading books in the evening is one of the "
+        "things we enjoy the most. yesterday we went to the market and "
+        "bought fresh bread, cheese and apples. my brother works in a small "
+        "office near the station and he takes the train every morning. when "
+        "the rain stops we will walk through the park together. she told me "
+        "that the meeting would start at nine and that everyone should be "
+        "there on time. there are many beautiful places in this country "
+        "that tourists never see. i would like to learn how to cook because "
+        "good food makes people happy. the teacher asked the students to "
+        "write a short story about their summer."
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund. dies ist "
+        "ein einfacher satz der auf deutsch geschrieben wurde. wir bauen "
+        "ein system das die sprache eines kurzen textes erkennen kann. "
+        "viele wörter im deutschen enden mit ung und das häufigste wort ist "
+        "der. die kinder spielen im garten und das wetter ist heute schön. "
+        "abends lesen wir gerne bücher und trinken dabei eine tasse tee. "
+        "gestern sind wir auf den markt gegangen und haben frisches brot, "
+        "käse und äpfel gekauft. mein bruder arbeitet in einem kleinen büro "
+        "in der nähe des bahnhofs und er nimmt jeden morgen den zug. wenn "
+        "der regen aufhört werden wir zusammen durch den park gehen. sie "
+        "sagte mir dass die besprechung um neun beginnen würde und dass "
+        "alle pünktlich sein sollten. es gibt viele schöne orte in diesem "
+        "land die touristen nie sehen. ich möchte gerne kochen lernen weil "
+        "gutes essen die menschen glücklich macht. der lehrer bat die "
+        "schüler eine kurze geschichte über ihren sommer zu schreiben."
+    ),
+    "fr": (
+        "le renard brun rapide saute par dessus le chien paresseux. ceci "
+        "est une phrase simple écrite en français. nous construisons un "
+        "système qui peut reconnaître la langue d'un texte court. beaucoup "
+        "de mots en français se terminent par tion et le mot le plus "
+        "courant est le. les enfants jouent dans le jardin et il fait beau "
+        "aujourd'hui. le soir nous aimons lire des livres et boire une "
+        "tasse de thé. hier nous sommes allés au marché et nous avons "
+        "acheté du pain frais, du fromage et des pommes. mon frère "
+        "travaille dans un petit bureau près de la gare et il prend le "
+        "train tous les matins. quand la pluie cessera nous marcherons "
+        "ensemble dans le parc. elle m'a dit que la réunion commencerait à "
+        "neuf heures et que tout le monde devait être à l'heure. il y a "
+        "beaucoup de beaux endroits dans ce pays que les touristes ne "
+        "voient jamais. je voudrais apprendre à cuisiner parce que la bonne "
+        "nourriture rend les gens heureux. le professeur a demandé aux "
+        "élèves d'écrire une petite histoire sur leurs vacances d'été."
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso. esta es una "
+        "frase sencilla escrita en español. estamos construyendo un sistema "
+        "que puede reconocer el idioma de un texto corto. muchas palabras "
+        "en español terminan en ción y la palabra más común es que. los "
+        "niños juegan en el jardín y hoy hace buen tiempo. por la noche nos "
+        "gusta leer libros y tomar una taza de té. ayer fuimos al mercado y "
+        "compramos pan fresco, queso y manzanas. mi hermano trabaja en una "
+        "oficina pequeña cerca de la estación y toma el tren todas las "
+        "mañanas. cuando pare la lluvia caminaremos juntos por el parque. "
+        "ella me dijo que la reunión empezaría a las nueve y que todos "
+        "debían llegar a tiempo. hay muchos lugares hermosos en este país "
+        "que los turistas nunca ven. me gustaría aprender a cocinar porque "
+        "la buena comida hace feliz a la gente. el profesor pidió a los "
+        "estudiantes que escribieran un cuento corto sobre su verano."
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过了懒狗。这是一个用中文写的简单句子。我们正在构建一个可以识别短文本语言的系统。"
+        "中文里最常见的字是的。孩子们在花园里玩耍，今天天气很好。晚上我们喜欢读书喝茶。"
+        "昨天我们去市场买了新鲜的面包、奶酪和苹果。我的哥哥在车站附近的一间小办公室工作，他每天早上坐火车。"
+        "雨停了以后我们会一起穿过公园散步。她告诉我会议九点开始，每个人都应该准时到。"
+        "这个国家有很多游客从未见过的美丽地方。我想学做饭，因为好的食物让人快乐。"
+        "老师让学生们写一篇关于他们夏天的短文。"
+    ),
+}
+
+
+NGRAM_SIZES = (1, 2, 3)  # 1-grams carry CJK; 2/3-grams separate European
+
+
+def _ngrams(s: str) -> list[str]:
+    s = s.lower()
+    out: list[str] = []
+    for n in NGRAM_SIZES:
+        out += [s[i : i + n] for i in range(len(s) - n + 1)]
+    return out
+
+
+def build_profiles(top_k: int = PROFILE_TOP_K) -> list[tuple[str, str, int]]:
+    """(lang, ngram, weight) rows; weight = top_k − rank (rank by
+    frequency desc, ngram asc — fully deterministic)."""
+    rows: list[tuple[str, str, int]] = []
+    for lang in sorted(SEED_CORPUS):
+        counts = Counter(_ngrams(SEED_CORPUS[lang]))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        rows += [(lang, t, top_k - r) for r, (t, _) in enumerate(top)]
+    return rows
+
+
+def profiles_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(build_profiles(), "plang string, tg string, w int")
+
+
+def profiles_cte() -> str:
+    """DuckDB VALUES twin of profiles_df (same rows, same types)."""
+    vals = ", ".join(
+        "('{}', '{}', {})".format(lang, t.replace("'", "''"), w)
+        for lang, t, w in build_profiles()
+    )
+    return f"profiles(plang, tg, w) AS (VALUES {vals})"
+
+
+def doc_ngrams_col(text):
+    """Distinct char 1-3-grams of lower(text) — JVM-side, no Python.
+
+    Guarded per size: Spark's sequence(1, n) counts DOWN for n < 1, so
+    each size contributes empty when the text is too short."""
+    lo = F.lower(text)
+    empty = F.array().cast("array<string>")
+
+    def _sub(n: int):
+        # MUST be a 1-arg lambda: F.transform treats a 2-param callable
+        # (incl. one with a default!) as an (element, index) lambda
+        return lambda i: lo.substr(i, F.lit(n))
+
+    parts = []
+    for n in NGRAM_SIZES:
+        k = F.length(lo) - (n - 1)
+        parts.append(
+            F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), _sub(n))).otherwise(empty)
+        )
+    return F.array_distinct(F.concat(*parts))
+
+
+def classify(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pred_lang, score): argmax over profile languages of the
+    integer rank-weight sum of the doc's distinct 1-3-grams; docs
+    matching no profile ngram (or empty text) predict 'und'."""
+    spark = docs.sparkSession
+    ids = docs.select(F.col(id_col).alias("_id"))
+    tg = docs.select(
+        F.col(id_col).alias("_id"), F.explode(doc_ngrams_col(F.col(text_col))).alias("tg")
+    )
+    scored = (
+        tg.join(F.broadcast(profiles_df(spark)), "tg")
+        .groupBy("_id", "plang")
+        .agg(F.sum("w").alias("s"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("s").desc(), F.col("plang").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return ids.join(best, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("plang"), F.lit("und")).alias("pred_lang"),
+        F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("score"),
+    )
+
+
+def classify_sql(table: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text") -> str:
+    """DuckDB oracle twin of classify() over a registered view."""
+    grams = " || ".join(
+        f"list_transform(generate_series(1, len(lower({text_col})) - {n - 1}), "
+        f"i -> substr(lower({text_col}), CAST(i AS INT), {n}))"
+        for n in NGRAM_SIZES
+    )
+    return f"""WITH {profiles_cte()},
+    tg AS (
+      SELECT {id_col} AS _id, unnest(list_distinct({grams})) AS tg
+      FROM {table} WHERE len(lower({text_col})) >= 1),
+    scored AS (
+      SELECT _id, plang, sum(w) AS s
+      FROM tg JOIN profiles USING (tg) GROUP BY 1, 2),
+    best AS (
+      SELECT _id, plang, s,
+             row_number() OVER (PARTITION BY _id ORDER BY s DESC, plang ASC) AS rn
+      FROM scored)
+    SELECT d.{id_col} AS {id_col},
+           coalesce(b.plang, 'und') AS pred_lang,
+           CAST(coalesce(b.s, 0) AS BIGINT) AS score
+    FROM {table} d LEFT JOIN best b ON d.{id_col} = b._id AND b.rn = 1"""

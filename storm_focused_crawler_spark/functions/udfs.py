@@ -77,12 +77,29 @@ def path_col(url: Column) -> Column:
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#x27;", "'"), ("&amp;", "&")]
 
 
-def extract_text_col(html: Column) -> Column:
-    """Byte-identical twin of spec.extract_text, pure codegen (no Python)."""
-    s = F.regexp_extract(F.decode(html, "UTF-8"), r"(?s)<article>(.*?)</article>", 1)
+def _unescape_col(s: Column) -> Column:
     for ent, ch in _ENTITIES:  # &amp; last — same order as spec._unescape
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return s
+
+
+def extract_text_col(html: Column) -> Column:
+    """Byte-identical twin of spec.extract_text, pure codegen (no Python).
+
+    Primary path extracts the <article> payload; the fallback strips
+    script/style, then tags, unescapes, and collapses whitespace —
+    expression-for-expression the same pipeline as
+    spec._fallback_extract (explicit ASCII whitespace class, since
+    Java's \\s and Python's \\s disagree on unicode)."""
+    raw = F.decode(html, "UTF-8")
+    article = _unescape_col(
+        F.regexp_extract(raw, r"(?s)<article>(.*?)</article>", 1)
+    )
+    fb = F.regexp_replace(raw, r"(?is)<(script|style)\b.*?</\1>", " ")
+    fb = F.regexp_replace(fb, r"(?s)<[^>]*>", " ")
+    fb = _unescape_col(fb)
+    fb = F.trim(F.regexp_replace(fb, r"[ \t\n\r\f\x0B]+", " "))
+    return F.when(raw.rlike(r"(?s)<article>.*?</article>"), article).otherwise(fb)
 
 
 @F.pandas_udf(T.StringType())

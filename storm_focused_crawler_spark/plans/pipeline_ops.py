@@ -197,6 +197,21 @@ def lang_id_ngram(spark, sf_dir):
     )
 
 
+from storm_focused_crawler_spark.functions import langid as L
+
+REGISTRY["lang_id_trigram"] = (
+    lambda spark, sf_dir: L.classify(_t(spark, sf_dir, "documents")),
+    L.classify_sql("documents"),
+)
+"""Char-trigram language ID (functions/langid.py): profile-table join +
+integer rank-weight argmax — the real replacement for the stopword toy
+above.  Accuracy ≥0.95 on held-out multilingual golden sentences is
+locked in tests/test_langid.py; the fixture's own lang labels are NOT
+recoverable from its text (same 31-word vocabulary for every label —
+measured 0.11-0.32 naive-bayes accuracy), so the fixture run checks
+engine-vs-oracle value equality, not label accuracy."""
+
+
 @op(
     "text_quality_score",
     """WITH t AS (

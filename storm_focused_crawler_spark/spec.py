@@ -258,12 +258,34 @@ def extract_text(html_bytes: bytes) -> str:
     Pure function shared verbatim between corpus synthesis, the Spark
     engine (JVM regexp twin + pandas-UDF twin, locked by tests) and the
     sequential oracle.
+
+    Primary path: pages with an ``<article>`` element (the synthetic
+    corpus and article-shaped real pages) yield exactly the element's
+    unescaped payload.  Fallback (real-web pages without ``<article>``
+    — the reference ran boilerpipe's ArticleExtractor here [R]): strip
+    script/style blocks, strip all tags, unescape entities, collapse
+    whitespace.  Round 1 returned "" for every such page.
     """
     s = html_bytes.decode("utf-8", errors="replace")
     m = _ARTICLE_RE.search(s)
     if not m:
-        return ""
+        return _fallback_extract(s)
     return _unescape(m.group(1))
+
+
+# fallback regexes: character classes are spelled out (no \s) so the
+# Java regex twin in functions/udfs.py matches byte-for-byte — Python's
+# \s is unicode-wide, Java's is ASCII-only
+_SCRIPT_STYLE_RE = re.compile(r"(?is)<(script|style)\b.*?</\1>")
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
+
+def _fallback_extract(s: str) -> str:
+    s = _SCRIPT_STYLE_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _unescape(s)
+    return _WS_RE.sub(" ", s).strip(" ")
 
 
 def _unescape(s: str) -> str:
