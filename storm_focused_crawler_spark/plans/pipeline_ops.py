@@ -168,6 +168,24 @@ def sim_knn_ivf(spark, sf_dir):
     return S.ivf_knn(e, q, k=5, n_centroids=16, nprobe=4)
 
 
+@op("sim_knn_lsh_recall", None)  # calibration: per-query recall vs brute force
+def sim_knn_lsh_recall(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_recall(
+        S.lsh_knn(e, q, k=5, dim=64, n_planes=4), S.brute_force_knn(e, q, k=5)
+    )
+
+
+@op("sim_knn_ivf_recall", None)  # calibration: per-query recall vs brute force
+def sim_knn_ivf_recall(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_recall(
+        S.ivf_knn(e, q, k=5, n_centroids=16, nprobe=4), S.brute_force_knn(e, q, k=5)
+    )
+
+
 # ======================= text analysis ======================================
 
 
@@ -255,6 +273,53 @@ def text_token_count(spark, sf_dir):
     ws = F.filter(F.split("text", " "), lambda x: x != "")
     re_ = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
     return d.select("doc_id", F.size(ws).alias("ws_tokens"), F.size(re_).alias("re_tokens"))
+
+
+@op(
+    "text_index_postings",
+    """WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      FROM documents),
+    p AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+    SELECT token, doc_id, CAST(tf AS BIGINT) AS tf,
+           CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+    FROM p""",
+)
+def text_index_postings(spark, sf_dir):
+    """Inverted-index build (operators/text_index.py — the reference's
+    TextIndexerBolt counterpart): one row per (token, doc) with term
+    and document frequencies."""
+    from pyspark.sql import Window as W
+
+    from storm_focused_crawler_spark.operators import text_index as TI
+
+    p = TI.postings(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return p.select(
+        "token",
+        F.col("doc").alias("doc_id"),
+        "tf",
+        F.count("*").over(W.partitionBy("token")).alias("df"),
+    )
+
+
+@op("sink_text_index", None)
+def sink_text_index(spark, sf_dir):
+    """Round-trip the index through the snapshot store, then serve a
+    deterministic tf-idf lookup off the committed tables (rows-only;
+    the postings math itself is oracled by text_index_postings)."""
+    import tempfile
+
+    from storm_focused_crawler_spark.operators import text_index as TI
+    from storm_focused_crawler_spark.sources.storage import ParquetSnapshotStore
+
+    d = _t(spark, sf_dir, "documents")
+    store = ParquetSnapshotStore(tempfile.mkdtemp(prefix="sfc_tidx_"))
+    store.write_round(0, {"postings": TI.postings(d, "doc_id", "text")})
+    post = store.read(spark, 0, "postings")
+    n_docs = d.count()
+    return TI.search(spark, post, TI.token_df(post), n_docs,
+                     terms=["the", "data", "spark"], k=10)
 
 
 @op("doc_fingerprint", None)  # xxhash64 rolling hash — pytest-locked vs fingerprint_py

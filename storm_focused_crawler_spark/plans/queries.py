@@ -214,6 +214,39 @@ def filter_robots(spark, sf_dir):
     ).select("url")
 
 
+@op(
+    "url_expand",
+    f"""WITH {URLS_CTE},
+    short AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+                THEN 'https://sho.rt/' || CAST(doc_id AS VARCHAR) ELSE url END AS url
+              FROM urls),
+    mapping AS (SELECT 'https://sho.rt/' || CAST(doc_id AS VARCHAR) AS short_url,
+                       url AS long_url
+                FROM urls WHERE doc_id % 10 = 0)
+    SELECT s.url AS raw_url, coalesce(m.long_url, s.url) AS expanded
+    FROM short s LEFT JOIN mapping m ON s.url = m.short_url""",
+)
+def url_expand(spark, sf_dir):
+    """Short-URL expansion ([R] URLExpanderBolt): broadcast mapping
+    join, unmapped urls pass through — functions/udfs.expand_urls."""
+    from storm_focused_crawler_spark.functions.udfs import expand_urls
+
+    u = _urls(spark, sf_dir)
+    short = u.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("https://sho.rt/"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("url")).alias("url"),
+    )
+    mapping = u.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("https://sho.rt/"), F.col("doc_id").cast("string")).alias("short_url"),
+        F.col("url").alias("long_url"),
+    )
+    ex = expand_urls(short.withColumn("raw_url", F.col("url")), mapping, "url")
+    return ex.select("raw_url", F.col("url").alias("expanded"))
+
+
 # ======================= joins ==============================================
 
 

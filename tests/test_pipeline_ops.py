@@ -108,6 +108,20 @@ def test_embedding_near_pairs_plan_has_no_cross_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_recall_ops_report_quality(spark, sf_dir):
+    """Calibration ops emit per-query recall; IVF (nprobe 4/16) must
+    beat 0.5 mean recall, LSH reports honestly (floor > 0)."""
+    from storm_focused_crawler_spark.plans.queries import REGISTRY
+
+    for name, floor in (("sim_knn_ivf_recall", 0.5), ("sim_knn_lsh_recall", 0.0)):
+        fn, _ = REGISTRY[name]
+        rows = fn(spark, sf_dir).collect()
+        assert rows, name
+        mean = sum(r["recall"] for r in rows) / len(rows)
+        assert mean > floor, f"{name}: mean recall {mean}"
+        assert all(r["n_hit"] <= r["n_true"] for r in rows)
+
+
 def test_ivf_train_deterministic(spark, sf_dir):
     import numpy as np
 
