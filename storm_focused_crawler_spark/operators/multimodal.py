@@ -73,6 +73,24 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, MEDIA_SCHEMA)
 
 
+def extract_media_col(html):
+    """Embedded media references from page HTML, document order —
+    array<struct<media_url,kind>> ([R] MediaExtractionBolt pulled
+    image/video items out of fetched pages).  Pure codegen: two
+    regexp_extract_all passes + struct-tagging, no Python."""
+
+    def tagged(pattern: str, kind: str):
+        urls = F.regexp_extract_all(html, F.lit(pattern), F.lit(1))
+        return F.transform(
+            urls, lambda u: F.struct(u.alias("media_url"), F.lit(kind).alias("kind"))
+        )
+
+    return F.concat(
+        tagged(r'<img src="([^"]*)"', "image"),
+        tagged(r'<video src="([^"]*)"', "video"),
+    )
+
+
 def frame_sample_offsets(n_bytes, every: int = 4096):
     """Deterministic frame-sampling plan: byte offsets to decode (JVM-side)."""
     n = F.greatest((n_bytes / every).cast("int"), F.lit(1))

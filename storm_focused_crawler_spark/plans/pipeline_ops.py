@@ -356,3 +356,71 @@ def multimodal_meta(spark, sf_dir):
 def multimodal_decode(spark, sf_dir):
     media = MM.derive_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return MM.decode_media(media)
+
+
+_MEDIA_HTML_SQL = """'<html><body><img src="https://img.example/i' || CAST(doc_id AS VARCHAR)
+    || '.jpg">' || CASE WHEN doc_id % 2 = 0
+    THEN '<video src="https://v.example/v' || CAST(doc_id AS VARCHAR) || '.mp4"></video>'
+    ELSE '' END || '<p>body</p></body></html>'"""
+
+
+@op(
+    "extract_media",
+    f"""WITH h AS (SELECT doc_id, {_MEDIA_HTML_SQL} AS html FROM documents),
+    m AS (
+      SELECT doc_id, unnest(regexp_extract_all(html, '<img src="([^"]*)"', 1)) AS media_url,
+             'image' AS kind FROM h
+      UNION ALL
+      SELECT doc_id, unnest(regexp_extract_all(html, '<video src="([^"]*)"', 1)),
+             'video' FROM h)
+    SELECT doc_id, media_url, kind FROM m""",
+)
+def extract_media(spark, sf_dir):
+    """Embedded image/video reference extraction ([R] MediaExtractionBolt)
+    over deterministic synthetic html both engines build identically;
+    the same extract_media_col runs on real crawl pages (pytest-locked
+    in tests/test_media_extract.py)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><img src="https://img.example/i'), did, F.lit('.jpg">'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<video src="https://v.example/v'), did, F.lit('.mp4"></video>')),
+        ).otherwise(F.lit("")),
+        F.lit("<p>body</p></body></html>"),
+    )
+    m = d.select("doc_id", F.explode(MM.extract_media_col(html)).alias("m"))
+    return m.select("doc_id", F.col("m.media_url").alias("media_url"), F.col("m.kind").alias("kind"))
+
+
+@op(
+    "parse_robots_txt",
+    """WITH r AS (SELECT doc_id % 7 AS robot_id,
+        'User-agent: *' || chr(10) || '# crawl policy' || chr(10) ||
+        'Disallow: /private' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        'Allow: /public' || chr(10) ||
+        'Disallow: /tmp' || CAST(doc_id % 3 AS VARCHAR) AS content
+      FROM documents),
+    d AS (SELECT DISTINCT robot_id, content FROM r),
+    lines AS (SELECT robot_id, unnest(string_split(content, chr(10))) AS line FROM d)
+    SELECT robot_id, substr(line, 11) AS disallow_prefix
+    FROM lines WHERE starts_with(line, 'Disallow: ')""",
+)
+def parse_robots_txt(spark, sf_dir):
+    """robots.txt parsing (the reference's fetcher parsed robots rules
+    [B:6 'robots.txt rules']): split lines, keep Disallow directives,
+    strip the directive prefix — all codegen string ops."""
+    d = _t(spark, sf_dir, "documents")
+    rid = (F.col("doc_id") % 7).alias("robot_id")
+    content = F.concat(
+        F.lit("User-agent: *\n# crawl policy\nDisallow: /private"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\nAllow: /public\nDisallow: /tmp"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    r = d.select(rid, content.alias("content")).distinct()
+    lines = r.select("robot_id", F.explode(F.split("content", "\n")).alias("line"))
+    return lines.filter(F.startswith("line", F.lit("Disallow: "))).select(
+        "robot_id", F.expr("substring(line, 11)").alias("disallow_prefix")
+    )
