@@ -684,6 +684,56 @@ def stateful_seen_set(spark, sf_dir):
         shutil.rmtree(feed, ignore_errors=True)
 
 
+@op("stateful_host_budget", None)
+def stateful_host_budget(spark, sf_dir):
+    """Streaming per-host politeness cap (streaming/live.py
+    politeness_limit_stream): token-bucket state per host across
+    micro-batches.  Rows-only; budget-never-exceeded + determinism are
+    pytest-locked (tests/test_streaming.py)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    feed = tempfile.mkdtemp(prefix="budgetfeed_")
+    try:
+        u = _urls(spark, sf_dir).select("url")
+        w = Window.orderBy(F.xxhash64("url"), F.col("url"))
+        ranked = u.withColumn("rn", F.row_number().over(w))
+        # two DISJOINT deterministic micro-batches
+        ranked.filter(F.col("rn") <= 300).select("url").write.mode("overwrite").parquet(
+            os.path.join(feed, "b0")
+        )
+        ranked.filter((F.col("rn") > 300) & (F.col("rn") <= 500)).select(
+            "url"
+        ).write.mode("overwrite").parquet(os.path.join(feed, "b1"))
+
+        from storm_focused_crawler_spark.streaming.live import politeness_limit_stream
+
+        stream = (
+            spark.readStream.schema("url string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed + "/*")
+        )
+        name = f"budget_{uuid.uuid4().hex[:8]}"
+        q = (
+            politeness_limit_stream(stream, budget=3)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(120)
+        assert finished, "stateful_host_budget stream did not drain within 120s"
+        rows = spark.sql(f"SELECT url, host, n_used FROM {name} ORDER BY host, n_used")
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+
+
 @op(
     "watermark_late_pages",
     """SELECT event_id FROM events

@@ -137,6 +137,49 @@ def _seen_filter_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator
     state.update((seen.tobytes(),))
 
 
+BUDGET_OUT_SCHEMA = "url string, host string, n_used long"
+BUDGET_STATE_SCHEMA = "used long"
+
+
+def _budget_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.DataFrame]":
+    """Emit at most (budget − already-used) urls for this host, in
+    (url asc) order — the token bucket from [R] WebPageFetcherBolt's
+    per-host politeness, keyed by host like Storm's fieldsGrouping.
+    The deterministic url-order tiebreak matches §2.1-5."""
+    budget = key[1]
+    used = int(state.get[0]) if state.exists else 0
+    for pdf in pdf_iter:
+        if used >= budget:
+            break
+        take = pdf.sort_values("url").head(budget - used).copy()
+        used += len(take)
+        take["n_used"] = range(used - len(take) + 1, used + 1)
+        yield take[["url", "host", "n_used"]]
+    state.update((used,))
+
+
+def politeness_limit_stream(urls: DataFrame, budget: int) -> DataFrame:
+    """Streaming per-host politeness cap: applyInPandasWithState keyed
+    by host, emitting at most *budget* urls per host over the stream's
+    lifetime (the continuous twin of the batch two-phase dequeue's
+    per-host budget).  State per group is ONE counter — bounded by
+    host count, never by frontier size."""
+    from storm_focused_crawler_spark.functions.udfs import host_col
+
+    keyed = urls.select(
+        "url",
+        host_col(F.col("url")).alias("host"),
+        F.lit(budget).alias("budget"),
+    )
+    return keyed.groupBy("host", "budget").applyInPandasWithState(
+        _budget_fn,
+        outputStructType=BUDGET_OUT_SCHEMA,
+        stateStructType=BUDGET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def seen_filter_stream(urls: DataFrame, n_shards: int = N_SHARDS_DEFAULT) -> DataFrame:
     """Streaming URL-seen dedup: sharded applyInPandasWithState.
 

@@ -115,3 +115,41 @@ def test_seen_filter_stream_exactly_once(spark, tmp_path):
     distinct_in = {u for b in batches for u in b}
     assert len(emitted) == len(set(emitted)), "url emitted more than once"
     assert set(emitted) == distinct_in, "some url never emitted"
+
+
+def test_politeness_stream_caps_per_host(spark, tmp_path):
+    """The streaming token bucket must emit at most budget urls per
+    host across micro-batches, deterministically (url-asc order)."""
+    import os
+
+    feed = str(tmp_path / "feed")
+    urls_b0 = [(f"https://h{i % 3}.ex/p{i}",) for i in range(12)]
+    urls_b1 = [(f"https://h{i % 3}.ex/q{i}",) for i in range(12)]
+    spark.createDataFrame(urls_b0, "url string").coalesce(1).write.parquet(
+        os.path.join(feed, "b0")
+    )
+    spark.createDataFrame(urls_b1, "url string").coalesce(1).write.parquet(
+        os.path.join(feed, "b1")
+    )
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    name = _run_stream(
+        live.politeness_limit_stream(stream, budget=3),
+        f"pol_{uuid.uuid4().hex[:8]}",
+        mode="append",
+    )
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert set(by_host) == {"h0.ex", "h1.ex", "h2.ex"}
+    for host, hr in by_host.items():
+        assert len(hr) == 3  # 8 candidates per host, capped at 3
+        assert sorted(r["n_used"] for r in hr) == [1, 2, 3]
+        # all emissions come from the FIRST batch (b0 files sort first
+        # and already exceed the budget), in url-asc order
+        urls = [r["url"] for r in sorted(hr, key=lambda r: r["n_used"])]
+        assert urls == sorted(urls)
