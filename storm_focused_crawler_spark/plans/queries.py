@@ -399,6 +399,42 @@ def agg_approx_distinct(spark, sf_dir):
 
 
 @op(
+    "agg_quantile_latency",
+    # accuracy-contract oracle (same pattern as agg_approx_distinct):
+    # the sketch internals differ per engine, so the oracle checks the
+    # CONTRACT — approx quantiles within 2% relative error of exact —
+    # plus the exact values both engines agree on
+    """SELECT true AS p50_ok, true AS p95_ok,
+              round(quantile_cont(value, 0.5), 6) AS p50_exact,
+              round(quantile_cont(value, 0.95), 6) AS p95_exact
+    FROM events""",
+)
+def agg_quantile_latency(spark, sf_dir):
+    """Quantile sketch over event values (crawl-latency-style metric):
+    percentile_approx (Greenwald-Khanna) vs exact percentile, asserted
+    within 2% relative error — the sketch family's accuracy-contract
+    check."""
+    e = _t(spark, sf_dir, "events")
+    exact = F.expr("percentile(value, array(0.5, 0.95))")
+    approx = F.expr("percentile_approx(value, array(0.5, 0.95), 10000)")
+    agg = e.agg(exact.alias("ex"), approx.alias("ap")).select(
+        (
+            F.abs(F.element_at("ap", 1) - F.element_at("ex", 1))
+            / F.abs(F.element_at("ex", 1))
+            <= 0.02
+        ).alias("p50_ok"),
+        (
+            F.abs(F.element_at("ap", 2) - F.element_at("ex", 2))
+            / F.abs(F.element_at("ex", 2))
+            <= 0.02
+        ).alias("p95_ok"),
+        F.round(F.element_at("ex", 1), 6).alias("p50_exact"),
+        F.round(F.element_at("ex", 2), 6).alias("p95_exact"),
+    )
+    return agg
+
+
+@op(
     "agg_rollup_host_tld",
     f"""WITH {URLS_CTE}
     SELECT tld, host, count(*) AS n, round(avg(score), 6) AS avg_score
