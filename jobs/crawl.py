@@ -41,6 +41,12 @@ def parse_args(argv=None):
     ap.add_argument("--capacity", type=int, default=1024)
     ap.add_argument("--n-salts", type=int, default=32)
     ap.add_argument("--bloom", action="store_true", help="enable the Bloom seen pre-filter")
+    ap.add_argument("--bloom-shards", type=int, default=8)
+    ap.add_argument("--bloom-bits", type=int, default=1 << 20, help="bits per Bloom shard")
+    ap.add_argument("--text-index", action="store_true",
+                    help="commit inverted-index postings deltas per round")
+    ap.add_argument("--url-expansions", default=None,
+                    help="(short_url, long_url) parquet mapping for shortener resolution")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--keywords", default=None, help="comma-separated topic keywords")
     return ap.parse_args(argv)
@@ -67,9 +73,15 @@ def main(argv=None) -> int:
             return 2
         paths = required
 
+    if args.url_expansions:
+        paths = dict(paths, url_expansions=args.url_expansions)
+
     kw = tuple(args.keywords.split(",")) if args.keywords else tuple(topic_keywords())
     cfg = CrawlConfig(rounds=args.rounds, capacity=args.capacity,
-                      keywords=kw, n_salts=args.n_salts, use_bloom=args.bloom)
+                      keywords=kw, n_salts=args.n_salts, use_bloom=args.bloom,
+                      bloom_shards=args.bloom_shards,
+                      bloom_bits_per_shard=args.bloom_bits,
+                      build_text_index=args.text_index)
     t0 = time.time()
     store = run_crawl(spark, paths, cfg, args.workdir, resume=not args.no_resume)
     last = store.latest_round()
