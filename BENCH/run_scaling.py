@@ -120,10 +120,13 @@ executors, same input.  Sandbox stand-in (no real cluster): the same
 deterministic frontier-pipeline job — canonicalize (Arrow pandas UDF)
 → xxhash64 → exact seen anti-join → salted two-phase politeness
 dequeue over {args.rows:,} skewed URLs (30% on one hot host) — at
-local[2], local[8], local[32]; each level a fresh process, {args.iters}
-timed iterations after a warmup, minimum reported (this sandbox is a
-shared VM with observed neighbor CPU-steal up to ~30%, so the minimum
-is the least-polluted observation).
+local[2], local[8], local[32]; each level runs in fresh processes with
+{args.iters} timed iterations per process after a warmup, pooled across
+invocations (--merge-prior; {len(res[2]['iters'])} samples per level
+here), minimum reported (this sandbox is a shared VM with observed
+neighbor CPU-steal up to ~30% and hours-long load phases, so the
+minimum over many spaced samples is the least-polluted observation of
+the engine's actual cost).
 
 | level | best sec | URLs/sec | iterations |
 | --- | --- | --- | --- |

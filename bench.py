@@ -35,9 +35,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "sim_knn_cosine",
     "text_quality_score",
-    "lang_id_ngram",
+    "lang_id_trigram",
+    "text_index_postings",
     "bloom_build_merge",
 ]
 
