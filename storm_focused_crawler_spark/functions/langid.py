@@ -151,12 +151,22 @@ def profiles_cte() -> str:
     return f"profiles(plang, tg, w) AS (VALUES {vals})"
 
 
-def doc_ngrams_col(text):
-    """Distinct char 1-3-grams of lower(text) — JVM-side, no Python.
+def _ngram_parts(lo):
+    """ALL char 1-3-grams of *lo* (with repeats) — JVM-side.
+
+    *lo* MUST be a cheap column reference (an already-projected
+    lowercase column): any expression here is re-evaluated inside the
+    transform lambda for EVERY element — passing lower(text) directly
+    recomputed the lowercase of the whole document per gram (~L² work;
+    measured as most of a 24 s sf0.1 run before this split).
+
+    Deliberately NOT array_distinct'ed either: that is O(n²) string
+    compares per document; classify() dedups linearly with a hash
+    aggregate AFTER the profile join, where the stream is already
+    filtered to profile hits.
 
     Guarded per size: Spark's sequence(1, n) counts DOWN for n < 1, so
     each size contributes empty when the text is too short."""
-    lo = F.lower(text)
     empty = F.array().cast("array<string>")
 
     def _sub(n: int):
@@ -170,20 +180,42 @@ def doc_ngrams_col(text):
         parts.append(
             F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), _sub(n))).otherwise(empty)
         )
-    return F.array_distinct(F.concat(*parts))
+    return F.concat(*parts)
 
 
-def classify(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def doc_ngrams_col(text):
+    """Compat wrapper: 1-3-grams of lower(text).  Prefer classify()'s
+    project-then-explode plan on hot paths (see _ngram_parts)."""
+    return _ngram_parts(F.lower(text))
+
+
+CLASSIFY_MAX_CHARS = 512  # classical n-gram LID needs only a prefix; bounds
+#                           per-doc work at multi-KB web documents
+
+
+def classify(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             max_chars: int = CLASSIFY_MAX_CHARS) -> DataFrame:
     """(id, pred_lang, score): argmax over profile languages of the
     integer rank-weight sum of the doc's distinct 1-3-grams; docs
     matching no profile ngram (or empty text) predict 'und'."""
     spark = docs.sparkSession
     ids = docs.select(F.col(id_col).alias("_id"))
-    tg = docs.select(
-        F.col(id_col).alias("_id"), F.explode(doc_ngrams_col(F.col(text_col))).alias("tg")
+    # materialize the lowercase ONCE per row, then gram off the
+    # attribute reference (see _ngram_parts for why this ordering)
+    lowered = docs.select(
+        F.col(id_col).alias("_id"),
+        F.lower(F.substring(F.col(text_col), 1, max_chars)).alias("_lo"),
     )
+    tg = lowered.select(
+        "_id", F.explode(_ngram_parts(F.col("_lo"))).alias("tg")
+    )
+    # join first (broadcast; drops every non-profile gram), THEN dedup
+    # repeats with one linear hash aggregate — each distinct doc gram
+    # counts once per language, same semantics as a per-doc distinct
     scored = (
         tg.join(F.broadcast(profiles_df(spark)), "tg")
+        .select("_id", "plang", "tg", "w")
+        .distinct()
         .groupBy("_id", "plang")
         .agg(F.sum("w").alias("s"))
     )
@@ -197,20 +229,23 @@ def classify(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
 
 def classify_sql(table: str = "documents", id_col: str = "doc_id",
-                 text_col: str = "text") -> str:
+                 text_col: str = "text",
+                 max_chars: int = CLASSIFY_MAX_CHARS) -> str:
     """DuckDB oracle twin of classify() over a registered view."""
+    lo = f"lower(substr({text_col}, 1, {max_chars}))"
     grams = " || ".join(
-        f"list_transform(generate_series(1, len(lower({text_col})) - {n - 1}), "
-        f"i -> substr(lower({text_col}), CAST(i AS INT), {n}))"
+        f"list_transform(generate_series(1, len({lo}) - {n - 1}), "
+        f"i -> substr({lo}, CAST(i AS INT), {n}))"
         for n in NGRAM_SIZES
     )
     return f"""WITH {profiles_cte()},
     tg AS (
-      SELECT {id_col} AS _id, unnest(list_distinct({grams})) AS tg
-      FROM {table} WHERE len(lower({text_col})) >= 1),
+      SELECT {id_col} AS _id, unnest({grams}) AS tg
+      FROM {table} WHERE len({lo}) >= 1),
     scored AS (
-      SELECT _id, plang, sum(w) AS s
-      FROM tg JOIN profiles USING (tg) GROUP BY 1, 2),
+      SELECT _id, plang, sum(w) AS s FROM (
+        SELECT DISTINCT _id, plang, tg, w
+        FROM tg JOIN profiles USING (tg)) GROUP BY 1, 2),
     best AS (
       SELECT _id, plang, s,
              row_number() OVER (PARTITION BY _id ORDER BY s DESC, plang ASC) AS rn

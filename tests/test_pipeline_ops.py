@@ -111,6 +111,7 @@ def test_embedding_near_pairs_plan_has_no_cross_product(spark, sf_dir):
 def test_recall_ops_report_quality(spark, sf_dir):
     """Calibration ops emit per-query recall; IVF (nprobe 4/16) must
     beat 0.5 mean recall, LSH reports honestly (floor > 0)."""
+    from storm_focused_crawler_spark.plans import pipeline_ops  # noqa: F401 — registers ops
     from storm_focused_crawler_spark.plans.queries import REGISTRY
 
     for name, floor in (("sim_knn_ivf_recall", 0.5), ("sim_knn_lsh_recall", 0.0)):
