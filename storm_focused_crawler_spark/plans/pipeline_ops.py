@@ -328,6 +328,26 @@ def doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", D.fingerprint_col(F.col("text")).alias("fp"))
 
 
+# ======================= link graph ========================================
+
+
+@op("graph_host_rank", None)  # iterative — pytest-locked to pagerank_py twin
+def graph_host_rank(spark, sf_dir):
+    """Host-graph PageRank (operators/graph.py): the repo's iterative
+    algorithm, integer-exact and partition-invariant.  Rows-only: the
+    driver's SQL oracle cannot express a 10-iteration loop; the
+    bit-identical python twin locks the values instead
+    (tests/test_graph.py)."""
+    from storm_focused_crawler_spark.operators import graph as G
+
+    u = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = u.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % 40).cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((F.col("doc_id") * 13 + 7) % 40).cast("string")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return G.pagerank(edges, iters=6)
+
+
 # ======================= multimodal =========================================
 
 
