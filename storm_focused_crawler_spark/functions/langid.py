@@ -208,14 +208,14 @@ def classify(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
     tg = lowered.select(
         "_id", F.explode(_ngram_parts(F.col("_lo"))).alias("tg")
-    )
-    # join first (broadcast; drops every non-profile gram), THEN dedup
-    # repeats with one linear hash aggregate — each distinct doc gram
-    # counts once per language, same semantics as a per-doc distinct
+    ).dropDuplicates(["_id", "tg"])
+    # dedup on the NARROW (doc, gram) stream with one linear hash
+    # aggregate (cheaper than distinct-ing the post-join stream, which
+    # a multi-language gram amplifies), then broadcast-join profiles —
+    # each (doc, gram, lang) is unique by construction, so the weight
+    # sum counts every distinct doc gram once per language
     scored = (
         tg.join(F.broadcast(profiles_df(spark)), "tg")
-        .select("_id", "plang", "tg", "w")
-        .distinct()
         .groupBy("_id", "plang")
         .agg(F.sum("w").alias("s"))
     )
@@ -240,12 +240,12 @@ def classify_sql(table: str = "documents", id_col: str = "doc_id",
     )
     return f"""WITH {profiles_cte()},
     tg AS (
-      SELECT {id_col} AS _id, unnest({grams}) AS tg
-      FROM {table} WHERE len({lo}) >= 1),
+      SELECT DISTINCT _id, tg FROM (
+        SELECT {id_col} AS _id, unnest({grams}) AS tg
+        FROM {table} WHERE len({lo}) >= 1)),
     scored AS (
-      SELECT _id, plang, sum(w) AS s FROM (
-        SELECT DISTINCT _id, plang, tg, w
-        FROM tg JOIN profiles USING (tg)) GROUP BY 1, 2),
+      SELECT _id, plang, sum(w) AS s
+      FROM tg JOIN profiles USING (tg) GROUP BY 1, 2),
     best AS (
       SELECT _id, plang, s,
              row_number() OVER (PARTITION BY _id ORDER BY s DESC, plang ASC) AS rn
