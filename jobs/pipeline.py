@@ -1,0 +1,126 @@
+"""spark-submit entry point for the training-data curation pipeline.
+
+The crawl engine's sibling job: where jobs/crawl.py produces the
+corpus, this consumes one — the standard LLM-data curation sweep over
+a documents table, built entirely from this repo's registry operators:
+
+    quality filter (text_quality_score)
+  → language ID + gate (functions/langid, char 1-3-gram profiles)
+  → exact dedup (keep min doc_id per identical text)
+  → near-dup removal (MinHash-LSH pairs, drop the larger id of each
+    verified pair — deterministic survivor rule)
+  → inverted-index build (operators/text_index postings + token_df)
+
+Outputs under --out: clean/ (surviving docs), postings/, token_df/,
+and a summary JSON line on stdout (one line, machine-readable — same
+contract as bench.py).
+
+Local smoke:
+    spark-submit --master local[8] --py-files dist/crawler.zip \
+        jobs/pipeline.py --sf-dir /root/testdata/sf0.001 --out /tmp/clean
+
+At 100 TB every stage is the scale-shaped plan the operator modules
+document: one hash-agg shuffle per dedup family, banded equi-joins for
+near-dup candidates, broadcast profile join for language ID.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description="training-data curation pipeline")
+    ap.add_argument("--sf-dir", default=None, help="testdata dir containing documents.parquet")
+    ap.add_argument("--documents", default=None, help="explicit documents parquet path")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--langs", default="en", help="comma-separated allowed pred langs")
+    ap.add_argument("--jaccard", type=float, default=0.5, help="near-dup threshold")
+    return ap.parse_args(argv)
+
+
+def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
+                 langs: set[str], jaccard: float) -> dict:
+    from pyspark.sql import functions as F
+
+    from storm_focused_crawler_spark.functions import langid as L
+    from storm_focused_crawler_spark.operators import dedup as D
+    from storm_focused_crawler_spark.operators import text_index as TI
+
+    d = spark.read.parquet(docs_path)
+    n_in = d.count()
+
+    # 1. quality gate (same heuristics as the text_quality_score op)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.filter(F.split("text", " "), lambda x: (x == "the") | (x == "a"))
+    q = d.withColumn("n_tok", F.size(toks)).withColumn("n_stop", F.size(stops))
+    q = q.filter(F.col("n_tok") > 0).withColumn(
+        "quality",
+        F.round(
+            0.5 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+            + 0.5 * (F.col("n_stop") / F.col("n_tok").cast("double")),
+            6,
+        ),
+    ).filter(F.col("quality") >= min_quality).drop("n_tok", "n_stop")
+    n_quality = q.count()
+
+    # 2. language gate on PREDICTED language (labels may be absent/wrong)
+    pred = L.classify(q.select("doc_id", "text"))
+    q = q.join(pred.filter(F.col("pred_lang").isin(*langs)).select("doc_id"), "doc_id")
+    n_lang = q.count()
+
+    # 3. exact dedup: keep the min doc_id per identical text
+    keepers = q.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    q = q.join(keepers, "doc_id")
+    n_exact = q.count()
+
+    # 4. near-dup removal: verified MinHash pairs, drop the larger id
+    # (id_a < id_b by construction → the min-id representative survives
+    # every pairwise comparison it wins; deterministic)
+    pairs = D.minhash_lsh_pairs(q, "doc_id", "text", threshold=jaccard)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    clean = q.join(losers, "doc_id", "left_anti").persist()
+    n_clean = clean.count()
+
+    # 5. inverted index over the surviving corpus
+    post = TI.postings(clean, "doc_id", "text")
+    clean.write.mode("overwrite").parquet(f"{out}/clean")
+    post.write.mode("overwrite").parquet(f"{out}/postings")
+    TI.token_df(spark.read.parquet(f"{out}/postings")).write.mode("overwrite").parquet(
+        f"{out}/token_df"
+    )
+    clean.unpersist()
+    return {
+        "docs_in": n_in,
+        "after_quality": n_quality,
+        "after_lang": n_lang,
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_clean,
+        "out": out,
+    }
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    docs = args.documents or (args.sf_dir and f"{args.sf_dir}/documents.parquet")
+    if not docs:
+        print("error: --sf-dir or --documents required", file=sys.stderr)
+        return 2
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("data-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    summary = run_pipeline(
+        spark, docs, args.out, args.min_quality,
+        set(args.langs.split(",")), args.jaccard,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,45 @@
+"""End-to-end curation pipeline job (jobs/pipeline.py): funnel counts
+monotone, outputs written, deterministic across reruns, survivors
+contain no verified near-dup pair."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobs.pipeline import run_pipeline
+
+
+def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "clean")
+    s = run_pipeline(
+        spark, f"{sf_dir}/documents.parquet", out,
+        min_quality=0.3, langs={"en"}, jaccard=0.5,
+    )
+    assert (
+        s["docs_in"] >= s["after_quality"] >= s["after_lang"]
+        >= s["after_exact_dedup"] >= s["after_near_dedup"] > 0
+    )
+    clean = spark.read.parquet(f"{out}/clean")
+    assert clean.count() == s["after_near_dedup"]
+    # no identical texts survive
+    assert clean.groupBy("text").count().filter(F.col("count") > 1).count() == 0
+    # no verified near-dup pair survives
+    from storm_focused_crawler_spark.operators import dedup as D
+
+    assert D.minhash_lsh_pairs(clean, "doc_id", "text", threshold=0.5).count() == 0
+    post = spark.read.parquet(f"{out}/postings")
+    assert post.count() > 0
+    assert spark.read.parquet(f"{out}/token_df").count() > 0
+
+    # deterministic rerun
+    out2 = str(tmp_path / "clean2")
+    s2 = run_pipeline(
+        spark, f"{sf_dir}/documents.parquet", out2,
+        min_quality=0.3, langs={"en"}, jaccard=0.5,
+    )
+    assert s2 == dict(s2, **{k: v for k, v in s.items() if k != "out"})
+    ids1 = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out2}/clean").select("doc_id").collect()
+    )
+    assert ids1 == ids2
