@@ -52,13 +52,13 @@ def hash64_url(spark, sf_dir):
     )
 
 
-@op("extract_text_op", None)
+@op("extract_text", None)
 def extract_text_op(spark, sf_dir):
     p = _pages(spark, sf_dir).dropDuplicates(["url"])  # any capture: html identical per url
     return p.select("url", extract_text_col(F.col("html")).alias("text_x"))
 
 
-@op("extract_links_op", None)
+@op("extract_links", None)
 def extract_links_op(spark, sf_dir):
     p = _pages(spark, sf_dir).dropDuplicates(["url"])
     links = extract_links_col(F.col("html"))
@@ -66,12 +66,6 @@ def extract_links_op(spark, sf_dir):
         "url", F.size(links).alias("n_links"),
         F.try_element_at(links, F.lit(1)).alias("first_link"),
     )
-
-
-# SURVEY §2.2 names these `extract_text` / `extract_links`; register the
-# canonical ids as aliases of the _op variants (same callables)
-op("extract_text", None)(extract_text_op)
-op("extract_links", None)(extract_links_op)
 
 
 @op("score_relevance", None)
