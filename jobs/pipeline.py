@@ -65,12 +65,20 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
             6,
         ),
     ).filter(F.col("quality") >= min_quality).drop("n_tok", "n_stop")
+    # each stage count is an action; persist the gated frame so the
+    # quality filter + langid scorer don't recompute for every later count
+    q = q.persist()
     n_quality = q.count()
 
-    # 2. language gate on PREDICTED language (labels may be absent/wrong)
-    pred = L.classify(q.select("doc_id", "text"))
-    q = q.join(pred.filter(F.col("pred_lang").isin(*langs)).select("doc_id"), "doc_id")
-    n_lang = q.count()
+    # 2. language gate on PREDICTED language (labels may be absent/wrong);
+    # classify_arrow = single-pass scorer, no gram-explode shuffle
+    pred = L.classify_arrow(q.select("doc_id", "text"))
+    gated = q.join(
+        pred.filter(F.col("pred_lang").isin(*langs)).select("doc_id"), "doc_id"
+    ).persist()
+    n_lang = gated.count()
+    q.unpersist()
+    q = gated
 
     # 3. exact dedup: keep the min doc_id per identical text
     keepers = q.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
@@ -93,6 +101,7 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
         f"{out}/token_df"
     )
     clean.unpersist()
+    q.unpersist()
     return {
         "docs_in": n_in,
         "after_quality": n_quality,

@@ -30,6 +30,7 @@ tests/test_langid.py lock accuracy ≥ 0.95.
 from __future__ import annotations
 
 from collections import Counter
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -225,6 +226,107 @@ def classify(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col("_id").alias(id_col),
         F.coalesce(F.col("plang"), F.lit("und")).alias("pred_lang"),
         F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass Arrow scorer — the hot path (VERDICT r02 'What's wrong' #2).
+#
+# classify() above explodes ~10³ narrow (doc, gram) rows per document
+# through a hash-dedup shuffle before the broadcast profile join; linear
+# and bounded, but a ~1000× row-amplified shuffle at 100 TB.  This twin
+# computes the identical (pred_lang, score) in ONE Arrow-batched pandas
+# UDF pass: no explode, no shuffle — the only wide work left is whatever
+# the caller does downstream.  Per document it is pure vectorized numpy:
+# code points via utf-32 decode, 1/2/3-gram keys by integer base-2²¹
+# folding, np.unique for the distinct-gram set, binary search into the
+# sorted broadcast profile table, one (hits × langs) weight-matrix sum.
+#
+# classify() stays as the relational spec: classify_sql() is its DuckDB
+# twin, and tests/test_langid.py locks classify_arrow == classify row
+# for row (fixture + golden + non-BMP edge cases).
+# ---------------------------------------------------------------------------
+
+_CODE_BASE = 1 << 21  # > max code point + 1, so length-n keys never collide
+
+
+def _gram_key(gram: str) -> int:
+    k = 0
+    for ch in gram:
+        k = k * _CODE_BASE + (ord(ch) + 1)
+    return k
+
+
+@lru_cache(maxsize=1)
+def _profile_table():
+    """(sorted int64 key array, |keys|×|langs| int64 weight matrix, langs).
+
+    Rebuilt lazily per executor process (build_profiles is deterministic,
+    so every executor derives the identical table — nothing to ship)."""
+    import numpy as np
+
+    langs = tuple(sorted(SEED_CORPUS))
+    lidx = {lang: i for i, lang in enumerate(langs)}
+    weights: dict[int, "np.ndarray"] = {}
+    for lang, gram, w in build_profiles():
+        row = weights.setdefault(_gram_key(gram), np.zeros(len(langs), np.int64))
+        row[lidx[lang]] += w
+    keys = np.array(sorted(weights), dtype=np.int64)
+    mat = np.stack([weights[k] for k in keys])
+    return keys, mat, langs
+
+
+def classify_arrow(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   max_chars: int = CLASSIFY_MAX_CHARS) -> DataFrame:
+    """Exact twin of classify() — same schema, same values — in one
+    narrow mapPartitions-shaped pass (Arrow-batched pandas UDF)."""
+    import pandas as pd
+
+    # no type hints: the hint parser has no Series->DataFrame mapping, but
+    # the struct-returning SCALAR pandas UDF is exactly that signature
+    def _score_impl(texts):
+        import numpy as np
+
+        keys, mat, langs = _profile_table()
+        preds: list[str] = []
+        scores: list[int] = []
+        for t in texts:
+            lo = (t or "")[:max_chars].lower()
+            if not lo:
+                preds.append("und")
+                scores.append(0)
+                continue
+            a = np.frombuffer(lo.encode("utf-32-le"), dtype=np.uint32).astype(np.int64) + 1
+            parts = [a]
+            if a.size >= 2:
+                parts.append(a[:-1] * _CODE_BASE + a[1:])
+            if a.size >= 3:
+                parts.append((a[:-2] * _CODE_BASE + a[1:-1]) * _CODE_BASE + a[2:])
+            grams = np.unique(np.concatenate(parts))  # distinct, like classify()
+            pos = np.searchsorted(keys, grams)
+            inside = pos < keys.size
+            pos = pos[inside]
+            rows = pos[keys[pos] == grams[inside]]
+            if rows.size == 0:
+                preds.append("und")
+                scores.append(0)
+                continue
+            acc = mat[rows].sum(axis=0)
+            # argmax returns the FIRST max — langs is sorted asc, so ties
+            # break lang-asc exactly like classify()'s (s desc, plang asc)
+            best = int(acc.argmax())
+            preds.append(langs[best])
+            scores.append(int(acc[best]))
+        return pd.DataFrame({"pred_lang": preds, "score": scores})
+
+    _score = F.pandas_udf("struct<pred_lang: string, score: bigint>")(_score_impl)
+
+    return docs.select(
+        F.col(id_col), _score(F.col(text_col)).alias("_r")
+    ).select(
+        id_col,
+        F.col("_r.pred_lang").alias("pred_lang"),
+        F.col("_r.score").alias("score"),
     )
 
 

@@ -218,15 +218,18 @@ def lang_id_ngram(spark, sf_dir):
 from storm_focused_crawler_spark.functions import langid as L
 
 REGISTRY["lang_id_trigram"] = (
-    lambda spark, sf_dir: L.classify(_t(spark, sf_dir, "documents")),
+    lambda spark, sf_dir: L.classify_arrow(_t(spark, sf_dir, "documents")),
     L.classify_sql("documents"),
 )
-"""Char-trigram language ID (functions/langid.py): profile-table join +
-integer rank-weight argmax — the real replacement for the stopword toy
-above.  Accuracy ≥0.95 on held-out multilingual golden sentences is
-locked in tests/test_langid.py; the fixture's own lang labels are NOT
-recoverable from its text (same 31-word vocabulary for every label —
-measured 0.11-0.32 naive-bayes accuracy), so the fixture run checks
+"""Char-trigram language ID (functions/langid.py): integer rank-weight
+argmax over 1-3-gram profiles — the real replacement for the stopword
+toy above.  The registered implementation is the single-pass Arrow
+scorer (no explode, no shuffle); the DuckDB oracle is the relational
+spec (classify_sql), so the driver verifies fast == spec on every run.
+Accuracy ≥0.95 on held-out multilingual golden sentences is locked in
+tests/test_langid.py; the fixture's own lang labels are NOT recoverable
+from its text (same 31-word vocabulary for every label — measured
+0.11-0.32 naive-bayes accuracy), so the fixture run checks
 engine-vs-oracle value equality, not label accuracy."""
 
 

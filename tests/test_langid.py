@@ -70,3 +70,49 @@ def test_profile_join_is_broadcast(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = L.classify(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# Arrow scorer (classify_arrow) — the hot path must equal the relational
+# spec row for row (VERDICT r02 'What's wrong' #2)
+# --------------------------------------------------------------------------
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["pred_lang"], r["score"]) for r in df.collect()
+    )
+
+
+def test_arrow_equals_relational_on_fixture(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _rows(L.classify_arrow(docs)) == _rows(L.classify(docs))
+
+
+def test_arrow_equals_relational_on_golden_and_edges(spark):
+    edge = [
+        (100, ""),                       # empty -> und
+        (101, None),                     # null text -> und
+        (102, "θθθ"),                    # unprofiled script -> und
+        (103, "\U0001f600\U0001f600a"),  # non-BMP code points (utf-32 path)
+        (104, "x" * 2000),               # past the 512-char prefix bound
+        (105, "the the the le le la la"),  # multi-language gram overlap
+    ]
+    data = [(i, txt) for i, (_, txt) in enumerate(GOLDEN)] + edge
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    assert _rows(L.classify_arrow(df)) == _rows(L.classify(df))
+
+
+def test_arrow_golden_accuracy_at_least_95(spark):
+    df = spark.createDataFrame(
+        [(i, txt) for i, (_, txt) in enumerate(GOLDEN)], "doc_id long, text string"
+    )
+    pred = {r["doc_id"]: r["pred_lang"] for r in L.classify_arrow(df).collect()}
+    ok = sum(pred[i] == want for i, (want, _) in enumerate(GOLDEN))
+    assert ok / len(GOLDEN) >= 0.95
+
+
+def test_arrow_plan_has_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    plan = L.classify_arrow(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # single narrow pass: no shuffle at all
