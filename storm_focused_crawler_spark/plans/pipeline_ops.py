@@ -124,11 +124,16 @@ def dedup_simhash(spark, sf_dir):
           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    # banded-LSH candidates + exact verify; pytest locks pair-for-pair
-    # equality with the all-pairs plan (the oracle above) at both
-    # fixture scales — see operators/dedup.embedding_near_pairs
+    # banded-LSH candidates + exact verify, at the PINNED (16, 3, seed
+    # 42) geometry whose full recall on the fixture scales is a tested
+    # fact (pytest locks pair-for-pair equality with the all-pairs plan
+    # = the oracle above); production callers omit the geometry and get
+    # the threshold-derived one — see operators/dedup.lsh_geometry
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return D.embedding_near_pairs(e, threshold=0.4, dim=64)
+    return D.embedding_near_pairs(
+        e, threshold=0.4, dim=64,
+        n_bands=D.EMB_BANDS, planes_per_band=D.EMB_PLANES_PER_BAND,
+    )
 
 
 # ======================= similarity search ==================================

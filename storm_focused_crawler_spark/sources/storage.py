@@ -124,7 +124,19 @@ class ParquetSnapshotStore:
             start = base + 1
         else:
             start = 0
-        paths += [os.path.join(self._round_dir(r), table) for r in range(start, upto + 1)]
+        # only rounds whose manifest actually lists the table: a table can
+        # join the crawl mid-run (e.g. postings when --text-index is
+        # enabled on resume) and a path for a round that never wrote it
+        # would fail the whole multi-path scan
+        paths += [
+            os.path.join(self._round_dir(r), table)
+            for r in range(start, upto + 1)
+            if table in self.manifest(r)["tables"]
+        ]
+        if not paths:
+            raise FileNotFoundError(
+                f"table {table!r} not committed in any round <= {upto} of {self.root}"
+            )
         return spark.read.parquet(*paths)
 
     def latest_round(self) -> int | None:

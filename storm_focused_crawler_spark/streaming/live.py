@@ -148,10 +148,26 @@ def _budget_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.D
     The deterministic url-order tiebreak matches §2.1-5."""
     budget = key[1]
     used = int(state.get[0]) if state.exists else 0
+    # one host group can arrive as MULTIPLE Arrow chunks in a micro-batch;
+    # sorting/heading per chunk would make the picks chunk-boundary-
+    # dependent.  Keep a running top-(budget-used) ACROSS chunks so the
+    # emitted set is the global url-asc minimum whatever the chunking —
+    # memory stays O(budget), never O(group).
+    import pandas as pd
+
+    remaining = budget - used
+    best = None
     for pdf in pdf_iter:
-        if used >= budget:
+        if remaining <= 0:
             break
-        take = pdf.sort_values("url").head(budget - used).copy()
+        chunk = pdf.sort_values("url").head(remaining)
+        best = (
+            chunk
+            if best is None
+            else pd.concat([best, chunk]).sort_values("url").head(remaining)
+        )
+    if best is not None and len(best):
+        take = best.copy()
         used += len(take)
         take["n_used"] = range(used - len(take) + 1, used + 1)
         yield take[["url", "host", "n_used"]]

@@ -89,7 +89,10 @@ def test_embedding_near_pairs_equals_all_pairs(spark, fixture):
     make this exact, not probabilistic) — VERDICT r01 'Next round' #3."""
     emb = spark.read.parquet(f"{fixture}/embeddings.parquet")
     banded = {(r["id_a"], r["id_b"]): r["cos"]
-              for r in D.embedding_near_pairs(emb, threshold=0.4, dim=64).collect()}
+              for r in D.embedding_near_pairs(
+                  emb, threshold=0.4, dim=64,
+                  n_bands=D.EMB_BANDS, planes_per_band=D.EMB_PLANES_PER_BAND,
+              ).collect()}
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     cos = S.cosine_col(F.col("va"), F.col("vb"))
@@ -98,6 +101,13 @@ def test_embedding_near_pairs_equals_all_pairs(spark, fixture):
              .select("id_a", "id_b", F.round(cos, 6).alias("cos")).collect()}
     assert banded == naive
     assert len(banded) > 0, "vacuous: fixture has no qualifying pairs"
+    # the threshold-DERIVED geometry is probabilistic (0.99/pair by the
+    # collision formula) — check empirical recall on the fixture, not
+    # exactness (the pinned geometry above carries the exactness lock)
+    derived = {(r["id_a"], r["id_b"])
+               for r in D.embedding_near_pairs(emb, threshold=0.4, dim=64).collect()}
+    assert derived <= set(naive), "verify stage must never emit a false pair"
+    assert len(derived) / len(naive) >= 0.9, (len(derived), len(naive))
 
 
 def test_embedding_near_pairs_plan_has_no_cross_product(spark, sf_dir):
@@ -155,3 +165,25 @@ def test_frame_sample_offsets(spark):
     rows = df.select(MM.frame_sample_offsets(F.col("n_bytes")).alias("o")).collect()
     assert rows[0]["o"] == [0, 4096]  # 10000 bytes → 2 frames
     assert rows[1]["o"] == [0]
+
+
+def test_lsh_geometry_meets_recall_and_prunes():
+    """Derived geometry must hit the recall target by the collision
+    formula and actually prune at production thresholds (ADVICE r02:
+    the loose 8-bucket default yielded ~2N^2 expected candidates)."""
+    import math
+
+    for t in (0.0, 0.4, 0.6, 0.8, 0.9, 0.95):
+        b, r = D.lsh_geometry(t, target_recall=0.99)
+        p = 1.0 - math.acos(t) / math.pi
+        recall = 1.0 - (1.0 - p**r) ** b
+        assert recall >= 0.99, (t, b, r, recall)
+        assert b <= 64
+    # production threshold: expected candidate fraction b*2^-r well below 1
+    b, r = D.lsh_geometry(0.8)
+    assert b * 2.0**-r <= 0.25, (b, r)
+    b9, r9 = D.lsh_geometry(0.9)
+    assert b9 * 2.0**-r9 <= b * 2.0**-r  # tighter threshold prunes at least as hard
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        D.lsh_geometry(1.0)

@@ -106,3 +106,23 @@ def test_read_union_uses_manifest_compact_pointer(spark, tmp_path):
     assert store.manifest(2)["compact"] == {"seen": 1}
     got = sorted(r["url_hash"] for r in store.read_union(spark, 2, "seen").collect())
     assert got == [1, 2, 3, 4]
+
+
+def test_read_union_skips_rounds_missing_the_table(spark, tmp_path):
+    """A table can join the crawl mid-run (postings when --text-index is
+    enabled on resume): read_union must scan only rounds whose manifest
+    lists the table instead of failing on the missing path (ADVICE r02)."""
+    import pytest as _pytest
+
+    from storm_focused_crawler_spark.sources.storage import ParquetSnapshotStore
+
+    store = ParquetSnapshotStore(str(tmp_path / "state2"))
+    mk = lambda *vals: spark.createDataFrame([(v,) for v in vals], "url_hash long")
+    store.write_round(0, {"seen": mk(1)})                      # no postings yet
+    store.write_round(1, {"seen": mk(2), "postings": mk(10)})  # enabled mid-run
+    store.write_round(2, {"seen": mk(3), "postings": mk(11)})
+    got = sorted(r["url_hash"] for r in store.read_union(spark, 2, "postings").collect())
+    assert got == [10, 11]
+    # a table no round ever committed raises a clear error, not a scan fail
+    with _pytest.raises(FileNotFoundError, match="never_written"):
+        store.read_union(spark, 2, "never_written")

@@ -153,3 +153,39 @@ def test_politeness_stream_caps_per_host(spark, tmp_path):
         # and already exceed the budget), in url-asc order
         urls = [r["url"] for r in sorted(hr, key=lambda r: r["n_used"])]
         assert urls == sorted(urls)
+
+
+def test_politeness_stream_multichunk_group_is_global_min(spark, tmp_path):
+    """applyInPandasWithState may deliver ONE host group as MULTIPLE
+    Arrow chunks in a micro-batch; the emitted urls must still be the
+    global url-asc minimum of the whole group, not per-chunk heads.
+    Forced here by shrinking the Arrow batch size below the group size
+    and feeding urls so that the globally-smallest urls land LATE in
+    scan order (descending suffix)."""
+    import os
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        feed = str(tmp_path / "feed_mc")
+        # one host, 100 urls written in DESCENDING url order: every small
+        # url arrives in a late chunk, so per-chunk head() picks wrong
+        urls = [(f"https://h0.ex/p{i:03d}",) for i in range(99, -1, -1)]
+        spark.createDataFrame(urls, "url string").coalesce(1).write.parquet(
+            os.path.join(feed, "b0")
+        )
+        stream = spark.readStream.schema("url string").parquet(feed + "/*")
+        name = _run_stream(
+            live.politeness_limit_stream(stream, budget=5),
+            f"polmc_{uuid.uuid4().hex[:8]}",
+            mode="append",
+        )
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        got = [r["url"] for r in sorted(rows, key=lambda r: r["n_used"])]
+        want = [f"https://h0.ex/p{i:03d}" for i in range(5)]
+        assert got == want, got
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
