@@ -37,9 +37,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "sim_knn_cosine",
+    "sim_knn_ivf",
     "text_quality_score",
     "lang_id_trigram",
+    "topic_classify_nb",
     "text_index_postings",
+    "graph_host_rank",
+    "filter_robots_rep",
     "bloom_build_merge",
 ]
 

@@ -68,6 +68,15 @@ class CrawlConfig:
     # commit an inverted-index postings delta per round ([R] TextIndexerBolt
     # counterpart; read the full index with store.read_union(..., 'postings'))
     build_text_index: bool = False
+    # §2.1-7: blend host link-graph authority (integer PageRank over the
+    # host edges discovered so far) into the dequeue priority —
+    # priority = round6(score + weight · rank_i/SCALE).  0.0 keeps pure
+    # relevance ordering.  The sequential oracle implements the identical
+    # semantics (oracle/seqcrawler.py), so parity stays exact with the
+    # flag on.  Edges are committed as per-round append-only deltas
+    # (host_edges), like `seen`.
+    host_rank_weight: float = 0.0
+    host_rank_iters: int = 5
 
 
 # --------------------------------------------------------------------------
@@ -112,6 +121,7 @@ def run_round(
     bloom_probe=None,
     compact: bool = False,
     url_expansions: DataFrame | None = None,
+    host_ranks: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}.
 
@@ -129,6 +139,27 @@ def run_round(
         "links": Observation("links"),
     }
     elig = eligible(frontier, seen, robots, bloom_probe)
+    if host_ranks is not None:
+        # §2.1-7 authority blend: EXACTLY spec.blended_priority's
+        # expression tree (add(score, mul(w, div(rank_i, SCALE)))) +
+        # half-even round — bit-identical to the oracle's doubles.
+        # host_ranks is host-cardinality (~10^6 at web scale): broadcast.
+        from storm_focused_crawler_spark.operators.graph import SCALE
+
+        elig = (
+            elig.join(F.broadcast(host_ranks), "host", "left")
+            .withColumn(
+                "score",
+                F.bround(
+                    F.col("score")
+                    + F.lit(cfg.host_rank_weight)
+                    * (F.coalesce(F.col("rank_i"), F.lit(0).cast("long"))
+                       / F.lit(float(SCALE))),
+                    6,
+                ),
+            )
+            .drop("rank_i")
+        )
     deq = dequeue(elig, host_budget, cfg.capacity, cfg.n_salts, cfg.max_budget)
     deq = (
         deq.select("url", "url_hash", "score", "depth", "seq")
@@ -169,7 +200,10 @@ def run_round(
     )
 
     # --- link discovery → next frontier ------------------------------------
+    from storm_focused_crawler_spark.functions.udfs import host_col
+
     links = ex.select(
+        host_col(F.col("url")).alias("_src_host"),  # for the host graph
         F.explode("links_raw").alias("link_raw"),
         F.col("page_score").alias("score"),
         (F.col("depth") + 1).alias("depth"),
@@ -183,9 +217,13 @@ def run_round(
         links.withColumn("url", canonicalize_udf(F.col("link_raw")))
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn("discovered_round", F.lit(rnd + 1))
-        .select("url", "url_hash", "score", "depth", "discovered_round")
+        .select("_src_host", "url", "url_hash", "score", "depth", "discovered_round")
         .observe(obs["links"], F.count(F.lit(1)).alias("rows"))
     ).persist()  # feeds the seen anti-join; don't re-run the UDF chain
+    host_edges = links.select(
+        F.col("_src_host").alias("src"), host_col(F.col("url")).alias("dst")
+    )
+    links = links.drop("_src_host")
 
     # --- seen set: append-only DELTA (O(capacity) per round, never a
     # rewrite of the accumulated 10^10-hash set; readers union the
@@ -253,6 +291,10 @@ def run_round(
         "_persisted": [deq, ex, links, frontier_next],  # caller unpersists after commit
         "_observations": obs,  # stage → Observation; read AFTER the writes ran
     }
+    if cfg.host_rank_weight > 0:
+        # per-round edge DELTA off the cached links (append-only like
+        # `seen`; next round's pagerank reads read_union('host_edges'))
+        out_tables["host_edges"] = host_edges
     if cfg.build_text_index:
         # per-round postings DELTA off this round's (unique-url) results —
         # append-only like `seen`; readers union via store.read_union
@@ -300,7 +342,13 @@ def run_crawl(
     seed_hashes = [spec.xxh64(u) for u in seeds]
     url_expansions = None
     if "url_expansions" in fixture_paths:
-        url_expansions = spark.read.parquet(fixture_paths["url_expansions"])
+        # close shortener→shortener chains ONCE on the dim table so the
+        # per-round broadcast join resolves any chain in one hop
+        from storm_focused_crawler_spark.functions.udfs import close_mapping
+
+        url_expansions = close_mapping(
+            spark.read.parquet(fixture_paths["url_expansions"])
+        )
 
     last = store.latest_round() if resume else None
     if last is None:
@@ -339,11 +387,23 @@ def run_crawl(
                 spark, shards, cfg.bloom_shards, cfg.bloom_bits_per_shard,
                 broadcast_max_bytes=cfg.bloom_broadcast_max_bytes,
             )
+        host_ranks = pr_out = None
+        if cfg.host_rank_weight > 0 and rnd > 0:
+            from storm_focused_crawler_spark.operators import graph
+
+            try:
+                pr_edges = store.read_union(spark, rnd - 1, "host_edges")
+            except FileNotFoundError:
+                pr_edges = None  # flag enabled mid-crawl on resume: no graph yet
+            if pr_edges is not None:
+                pr_out = graph.pagerank(pr_edges, cfg.host_rank_iters)
+                host_ranks = pr_out.select(F.col("node").alias("host"), "rank_i")
         out = run_round(
             spark, corpus, frontier, seen, robots, host_budget, cfg, rnd, seed_hashes,
             bloom_probe=probe,
             compact=cfg.compact_every > 0 and (rnd + 1) % cfg.compact_every == 0,
             url_expansions=url_expansions,
+            host_ranks=host_ranks,
         )
         if cfg.use_bloom:
             if have_prev_bloom:
@@ -369,6 +429,10 @@ def run_crawl(
         counts = store.write_round(rnd, out)
         for df in persisted:
             df.unpersist()
+        if pr_out is not None:
+            from storm_focused_crawler_spark.operators import graph
+
+            graph.release(pr_out)
         # stage-level lineage, collected by the Observation API during the
         # writes above (no extra jobs); persisted next to the row counts.
         # An empty round can have its CollectMetrics node eliminated by

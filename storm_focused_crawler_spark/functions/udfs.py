@@ -61,8 +61,12 @@ def expand_urls(df, mapping, url_col: str = "url"):
     *mapping* is a (short_url, long_url) DataFrame — at crawl scale a
     dimension table of known shortener resolutions, broadcast into the
     link stream; unmapped urls pass through unchanged.  Chained
-    expansion (shortener → shortener) is intentionally NOT followed:
-    one hop per round, the next round's frontier re-enters the hook.
+    mappings (shortener → shortener → target) are handled by closing
+    the MAPPING, not by re-joining the link stream: pass the mapping
+    through close_mapping() once at load (driver.run_crawl does) and a
+    single broadcast join resolves any chain.  Expanding the dim table
+    is O(|mapping|); re-expanding a 10^10-row frontier every round is
+    not.
     """
     m = mapping.select(
         F.col("short_url").alias(url_col), F.col("long_url").alias("_long")
@@ -71,6 +75,32 @@ def expand_urls(df, mapping, url_col: str = "url"):
         df.join(F.broadcast(m), url_col, "left")
         .withColumn(url_col, F.coalesce(F.col("_long"), F.col(url_col)))
         .drop("_long")
+    )
+
+
+def close_mapping(mapping, max_hops: int = 16):
+    """Transitive closure of a (short_url, long_url) mapping.
+
+    Each short_url is followed through chained entries to its final
+    target; cycles and chains longer than *max_hops* stop at the last
+    url reached before revisiting/overflow.  The mapping is
+    broadcast-dim-sized by contract (expand_urls broadcasts it), so the
+    chase runs driver-side on the collected dict — deliberate, not a
+    distributed-loop smell.
+    """
+    rows = {r["short_url"]: r["long_url"] for r in mapping.collect()}
+    closed = []
+    for short in sorted(rows):
+        cur = rows[short]
+        seen = {short}
+        for _ in range(max_hops):
+            if cur not in rows or cur in seen:
+                break
+            seen.add(cur)
+            cur = rows[cur]
+        closed.append((short, cur))
+    return mapping.sparkSession.createDataFrame(
+        closed, "short_url string, long_url string"
     )
 
 

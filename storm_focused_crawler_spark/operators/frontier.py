@@ -52,7 +52,14 @@ def eligible(
     property-tested) and skip the join entirely; only Bloom-positive
     rows — ~FPR·|frontier| + |actually seen| — touch the 10^10-hash
     seen table.
+
+    robots carries full REP semantics (operators/robots.py: Allow +
+    longest-match, RFC 9309); legacy (host, disallow_prefix) tables are
+    adapted to Disallow-only rules — identical verdicts when each host
+    has one Disallow rule, which is what the old filter supported.
     """
+    from storm_focused_crawler_spark.operators.robots import rep_filter
+
     if bloom_probe is not None:
         fr = bloom_probe(frontier)
         sure_new = fr.filter(~F.col("_maybe")).drop("_maybe")
@@ -63,11 +70,7 @@ def eligible(
     else:
         e = frontier.join(seen.select("url_hash"), "url_hash", "left_anti")
     e = e.withColumn("host", host_col(F.col("url")))
-    r = e.join(F.broadcast(robots), "host", "left")
-    return r.filter(
-        F.col("disallow_prefix").isNull()
-        | ~F.startswith(path_col(F.col("url")), F.col("disallow_prefix"))
-    ).drop("disallow_prefix")
+    return rep_filter(e, robots, path_col(F.col("url")))
 
 
 def dequeue(

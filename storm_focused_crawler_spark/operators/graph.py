@@ -25,8 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SCALE = 10**9  # rank micro-units; all arithmetic stays in int64
-DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as a ratio
+from storm_focused_crawler_spark.spec import (  # single source of truth (§2.1-7)
+    PAGERANK_DAMP_DEN as DAMP_DEN,
+    PAGERANK_DAMP_NUM as DAMP_NUM,
+    PAGERANK_SCALE as SCALE,
+    pagerank_py,  # noqa: F401 — re-exported pytest oracle twin
+)
 
 
 def pagerank(edges: DataFrame, iters: int = 10) -> DataFrame:
@@ -44,6 +48,11 @@ def pagerank(edges: DataFrame, iters: int = 10) -> DataFrame:
         .persist()
     )
     n = nodes.count()
+    if n == 0:  # a crawl round may extract zero links; no graph, no ranks
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank_i long, rank double"
+        )
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg")).persist()
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_i")).persist()
     ranks.count()
@@ -94,24 +103,15 @@ def pagerank(edges: DataFrame, iters: int = 10) -> DataFrame:
     nodes.unpersist()
     deg.unpersist()
     dangling.unpersist()
+    # the final iteration's state stays cached (out reads through it);
+    # long-lived callers (one pagerank per crawl round) unpersist via
+    # this handle once done with the result
+    out._sfc_cached = ranks
     return out
 
 
-def pagerank_py(edge_list: list[tuple[str, str]], iters: int = 10) -> dict[str, int]:
-    """Pure-python bit-identical twin of pagerank() (pytest oracle)."""
-    nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
-    n = len(nodes)
-    deg: dict[str, int] = {}
-    for s, _ in edge_list:
-        deg[s] = deg.get(s, 0) + 1
-    rank = {v: SCALE // n for v in nodes}
-    base = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
-    for _ in range(iters):
-        dang = sum(r for v, r in rank.items() if v not in deg)
-        s: dict[str, int] = {v: 0 for v in nodes}
-        for src, dst in edge_list:
-            s[dst] += rank[src] // deg[src]
-        rank = {
-            v: base + (DAMP_NUM * (s[v] + dang // n)) // DAMP_DEN for v in nodes
-        }
-    return rank
+def release(ranks_out: DataFrame) -> None:
+    """Unpersist the cached state behind a pagerank() result."""
+    cached = getattr(ranks_out, "_sfc_cached", None)
+    if cached is not None:
+        cached.unpersist()

@@ -35,6 +35,10 @@ class CrawlConfig:
     rounds: int = 3
     capacity: int = 64  # global round capacity C
     keywords: tuple[str, ...] = ()
+    # §2.1-7: blend host link-graph authority into the dequeue priority
+    # (0.0 = pure relevance ordering, the pre-round-3 behavior)
+    host_rank_weight: float = 0.0
+    host_rank_iters: int = 5
 
 
 @dataclass
@@ -45,6 +49,8 @@ class CrawlResult:
     results: list[tuple[int, int, str, float, str, str, int]] = field(default_factory=list)
     seen_hashes: set[int] = field(default_factory=set)
     frontier: dict[str, tuple[float, int, int]] = field(default_factory=dict)
+    # (src_host, dst_host) per extracted link, in discovery order
+    host_edges: list[tuple[str, str]] = field(default_factory=list)
 
 
 def latest_captures(pages_rows) -> dict[str, tuple]:
@@ -57,11 +63,24 @@ def latest_captures(pages_rows) -> dict[str, tuple]:
     return best
 
 
-def _blocked(url: str, robots: dict[str, str]) -> bool:
+def _host(url: str) -> str:
+    return url.split("://", 1)[1].partition("/")[0]
+
+
+def _blocked(url: str, robots: dict[str, list[tuple[str, bool]]]) -> bool:
+    """REP verdict (RFC 9309 §2.2.2): longest matching prefix wins,
+    Allow wins a length tie, no match ⇒ allowed — the exact twin of
+    operators/robots.rep_allowed."""
     rest = url.split("://", 1)[1]
     host, _, path = rest.partition("/")
-    pre = robots.get(host)
-    return pre is not None and ("/" + path).startswith(pre)
+    path = "/" + path
+    best: tuple[int, bool] | None = None
+    for prefix, allow in robots.get(host, ()):
+        if prefix and path.startswith(prefix):
+            cand = (len(prefix), allow)
+            if best is None or cand > best:
+                best = cand
+    return best is not None and not best[1]
 
 
 def crawl(
@@ -82,18 +101,31 @@ def crawl(
             res.frontier[c] = cand
 
     for r in range(cfg.rounds):
+        # --- §2.1-7: host authority over the graph discovered so far -------
+        ranks: dict[str, int] | None = None
+        if cfg.host_rank_weight > 0 and r > 0 and res.host_edges:
+            ranks = spec.pagerank_py(res.host_edges, cfg.host_rank_iters)
+
+        def _prio(url: str, sc: float) -> float:
+            if ranks is None:
+                return sc
+            return spec.blended_priority(
+                sc, ranks.get(_host(url), 0), cfg.host_rank_weight
+            )
+
         # --- eligibility: frontier ∖ seen, minus robots-blocked -----------
+        # rows carry (url, priority, score, depth); ordering uses the
+        # blended priority, everything downstream keeps the pure score
         elig = [
-            (url, sc, dep)
+            (url, _prio(url, sc), sc, dep)
             for url, (sc, dep, _dr) in res.frontier.items()
             if spec.xxh64(url) not in res.seen_hashes and not _blocked(url, robots)
         ]
-        # --- per-host top-budget by (score desc, url asc) ------------------
-        by_host: dict[str, list[tuple[str, float, int]]] = {}
-        for url, sc, dep in elig:
-            host = url.split("://", 1)[1].partition("/")[0]
-            by_host.setdefault(host, []).append((url, sc, dep))
-        picked: list[tuple[str, float, int]] = []
+        # --- per-host top-budget by (priority desc, url asc) ----------------
+        by_host: dict[str, list[tuple[str, float, float, int]]] = {}
+        for url, pr, sc, dep in elig:
+            by_host.setdefault(_host(url), []).append((url, pr, sc, dep))
+        picked: list[tuple[str, float, float, int]] = []
         for host, rows in by_host.items():
             rows.sort(key=lambda t: (-t[1], t[0]))
             picked.extend(rows[: budgets.get(host, DEFAULT_BUDGET)])
@@ -102,7 +134,7 @@ def crawl(
         dequeued = picked[: cfg.capacity]
 
         new_links: list[tuple[str, float, int]] = []
-        for seq, (url, sc, dep) in enumerate(dequeued, start=1):
+        for seq, (url, _pr, sc, dep) in enumerate(dequeued, start=1):
             res.ordering.append((r, seq, url))
             res.seen_hashes.add(spec.xxh64(url))
             del res.frontier[url]
@@ -116,6 +148,7 @@ def crawl(
             res.results.append((r, seq, url, page_score, text, lang, len(links)))
             for link in links:
                 new_links.append((link, page_score, dep + 1))
+                res.host_edges.append((_host(url), _host(link)))
         if r == 0:
             for s in seeds:
                 res.seen_hashes.add(spec.xxh64(spec.canon(s)))
@@ -154,7 +187,15 @@ def load_fixture_inputs(fix_paths: dict[str, str]):
     with open(fix_paths["seeds"]) as f:
         seeds = json.load(f)
     rb = pq.read_table(fix_paths["robots"])
-    robots = dict(zip(rb.column("host").to_pylist(), rb.column("disallow_prefix").to_pylist()))
+    robots: dict[str, list[tuple[str, bool]]] = {}
+    hosts = rb.column("host").to_pylist()
+    if "allow" in rb.column_names:  # full REP rule table
+        for h, p, a in zip(hosts, rb.column("prefix").to_pylist(),
+                           rb.column("allow").to_pylist()):
+            robots.setdefault(h, []).append((p, bool(a)))
+    else:  # legacy single-Disallow format
+        for h, p in zip(hosts, rb.column("disallow_prefix").to_pylist()):
+            robots.setdefault(h, []).append((p, False))
     hb = pq.read_table(fix_paths["host_budget"])
     budgets = dict(zip(hb.column("host").to_pylist(), hb.column("budget").to_pylist()))
     return pages_rows, seeds, robots, budgets

@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 
 from storm_focused_crawler_spark.operators import dedup as D
 from storm_focused_crawler_spark.operators import multimodal as MM
+from storm_focused_crawler_spark.operators import robots as RB
 from storm_focused_crawler_spark.operators import similarity as S
-from storm_focused_crawler_spark.plans.queries import REGISTRY, _t, op
+from storm_focused_crawler_spark.plans.queries import REGISTRY, URLS_CTE, _t, _urls, op
 
 # ======================= deduplication ======================================
 
@@ -238,6 +239,20 @@ from its text (same 31-word vocabulary for every label — measured
 engine-vs-oracle value equality, not label accuracy."""
 
 
+from storm_focused_crawler_spark.functions import topic_nb as TN
+
+REGISTRY["topic_classify_nb"] = (
+    lambda spark, sf_dir: TN.classify(_t(spark, sf_dir, "documents")),
+    TN.classify_sql("documents"),
+)
+"""Trained multinomial-NB topic classifier (functions/topic_nb.py) —
+the trained alternative to §2.1-4's keyword-overlap parity stand-in.
+Integer log-weight table trained at import from an embedded labeled
+corpus; scoring is broadcast-join + integer sums, so the DuckDB oracle
+verifies the full math.  Held-out accuracy ≥0.9 is locked in
+tests/test_topic_nb.py."""
+
+
 @op(
     "text_quality_score",
     """WITH t AS (
@@ -339,13 +354,62 @@ def doc_fingerprint(spark, sf_dir):
 # ======================= link graph ========================================
 
 
-@op("graph_host_rank", None)  # iterative — pytest-locked to pagerank_py twin
+def _pagerank_sql(iters: int) -> str:
+    """DuckDB twin of graph_host_rank: the fixed iteration count is
+    UNROLLED into one CTE per step — possible (and exact) because the
+    spec's PageRank is all-integer (spec.pagerank_py): floor divisions
+    and int sums have no accumulation-order hazard for SQL to trip on."""
+    from storm_focused_crawler_spark.spec import (
+        PAGERANK_DAMP_DEN as DD,
+        PAGERANK_DAMP_NUM as DN,
+        PAGERANK_SCALE as SC,
+    )
+
+    parts = [
+        """e AS (
+      SELECT 'n' || CAST(doc_id % 40 AS VARCHAR) AS src,
+             'n' || CAST((doc_id * 13 + 7) % 40 AS VARCHAR) AS dst
+      FROM documents
+      WHERE doc_id % 40 <> (doc_id * 13 + 7) % 40)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST(CAST({SC} AS BIGINT) // n AS BIGINT) AS rank_i"
+        " FROM nodes, nn)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""dang{i} AS (
+      SELECT coalesce(sum(r.rank_i), 0) AS d
+      FROM {prev} r LEFT JOIN deg ON r.node = deg.node WHERE deg.deg IS NULL)"""
+        )
+        parts.append(
+            f"""s{i} AS (
+      SELECT e.dst AS node, sum(r.rank_i // d.deg) AS s
+      FROM e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.node
+      GROUP BY 1)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT nodes.node,
+             CAST((CAST({SC} AS BIGINT) * {DD - DN}) // ({DD} * n)
+                  + ({DN} * (coalesce(s{i}.s, 0) + dg.d // n)) // {DD} AS BIGINT)
+               AS rank_i
+      FROM nodes CROSS JOIN nn CROSS JOIN dang{i} dg
+      LEFT JOIN s{i} ON nodes.node = s{i}.node)"""
+        )
+        prev = f"r{i}"
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, rank_i FROM {prev}"
+
+
+@op("graph_host_rank", _pagerank_sql(iters=6))
 def graph_host_rank(spark, sf_dir):
     """Host-graph PageRank (operators/graph.py): the repo's iterative
-    algorithm, integer-exact and partition-invariant.  Rows-only: the
-    driver's SQL oracle cannot express a 10-iteration loop; the
-    bit-identical python twin locks the values instead
-    (tests/test_graph.py)."""
+    algorithm, integer-exact and partition-invariant — which is exactly
+    what lets the driver verify it against an unrolled-CTE DuckDB twin
+    (see _pagerank_sql); the bit-identical python twin additionally
+    locks the distributed loop (tests/test_graph.py)."""
     from storm_focused_crawler_spark.operators import graph as G
 
     u = _t(spark, sf_dir, "documents").select("doc_id")
@@ -353,7 +417,7 @@ def graph_host_rank(spark, sf_dir):
         F.concat(F.lit("n"), (F.col("doc_id") % 40).cast("string")).alias("src"),
         F.concat(F.lit("n"), ((F.col("doc_id") * 13 + 7) % 40).cast("string")).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    return G.pagerank(edges, iters=6)
+    return G.pagerank(edges, iters=6).select("node", "rank_i")
 
 
 # ======================= multimodal =========================================
@@ -431,14 +495,23 @@ def extract_media(spark, sf_dir):
         'Disallow: /tmp' || CAST(doc_id % 3 AS VARCHAR) AS content
       FROM documents),
     d AS (SELECT DISTINCT robot_id, content FROM r),
-    lines AS (SELECT robot_id, unnest(string_split(content, chr(10))) AS line FROM d)
-    SELECT robot_id, substr(line, 11) AS disallow_prefix
-    FROM lines WHERE starts_with(line, 'Disallow: ')""",
+    lines AS (SELECT robot_id, unnest(string_split(content, chr(10))) AS line FROM d),
+    rules AS (
+      SELECT robot_id,
+             CASE WHEN starts_with(line, 'Allow: ') THEN substr(line, 8)
+                  ELSE substr(line, 11) END AS prefix,
+             CASE WHEN starts_with(line, 'Allow: ') THEN 1 ELSE 0 END AS allow
+      FROM lines
+      WHERE starts_with(line, 'Disallow: ') OR starts_with(line, 'Allow: '))
+    SELECT robot_id, prefix, allow FROM rules WHERE len(prefix) >= 1""",
 )
 def parse_robots_txt(spark, sf_dir):
     """robots.txt parsing (the reference's fetcher parsed robots rules
-    [B:6 'robots.txt rules']): split lines, keep Disallow directives,
-    strip the directive prefix — all codegen string ops."""
+    [B:6 'robots.txt rules']): split lines, keep Allow AND Disallow
+    directives as (prefix, allow) rules for the longest-match REP
+    evaluator (operators/robots.py) — all codegen string ops.  Empty
+    prefixes ('Disallow:' alone = allow-all in REP) are dropped here so
+    the evaluator never sees them."""
     d = _t(spark, sf_dir, "documents")
     rid = (F.col("doc_id") % 7).alias("robot_id")
     content = F.concat(
@@ -449,6 +522,61 @@ def parse_robots_txt(spark, sf_dir):
     )
     r = d.select(rid, content.alias("content")).distinct()
     lines = r.select("robot_id", F.explode(F.split("content", "\n")).alias("line"))
-    return lines.filter(F.startswith("line", F.lit("Disallow: "))).select(
-        "robot_id", F.expr("substring(line, 11)").alias("disallow_prefix")
+    is_allow = F.startswith("line", F.lit("Allow: "))
+    is_dis = F.startswith("line", F.lit("Disallow: "))
+    rules = lines.filter(is_allow | is_dis).select(
+        "robot_id",
+        F.when(is_allow, F.expr("substring(line, 8)"))
+        .otherwise(F.expr("substring(line, 11)"))
+        .alias("prefix"),
+        F.when(is_allow, F.lit(1)).otherwise(F.lit(0)).alias("allow"),
     )
+    return rules.filter(F.length("prefix") >= 1)
+
+
+# host → REP rules exercising every precedence branch over the derived
+# URL universe (paths are '/d<doc_id>/p<doc_id%7>'): longer-Allow
+# overrides Disallow, longer-Disallow overrides Allow, same-length tie
+# goes to Allow, unmatched hosts/paths stay allowed.
+_REP_RULES_ROWS = [
+    ("h001.example-org", "/d", False),
+    ("h001.example-org", "/d1", True),     # longer allow wins for /d1*
+    ("h002.example-net", "/d2", False),
+    ("h002.example-net", "/d2/p", True),   # allow at the deepest level
+    ("h003.example-com", "/d", True),
+    ("h003.example-com", "/d3", False),    # longer disallow wins
+    ("h004.example-org", "/x", False),     # never matches
+    ("h005.example-net", "/d5", False),
+    ("h005.example-net", "/d5", True),     # same-length tie → allow
+]
+_REP_RULES_CTE = (
+    "rep_rules(host, prefix, allow) AS (VALUES "
+    + ", ".join(f"('{h}', '{p}', {str(a).upper()})" for h, p, a in _REP_RULES_ROWS)
+    + ")"
+)
+
+
+@op(
+    "filter_robots_rep",
+    f"""WITH {URLS_CTE},
+    {_REP_RULES_CTE},
+    m AS (
+      SELECT u.url, r.allow,
+             row_number() OVER (PARTITION BY u.url
+                                ORDER BY len(r.prefix) DESC,
+                                         CAST(r.allow AS INT) DESC) AS rn
+      FROM urls u JOIN rep_rules r
+        ON u.host = r.host AND starts_with(u.path, r.prefix))
+    SELECT u.url FROM urls u
+    LEFT JOIN (SELECT url, allow FROM m WHERE rn = 1) b ON u.url = b.url
+    WHERE b.url IS NULL OR b.allow""",
+)
+def filter_robots_rep(spark, sf_dir):
+    """Full-REP politeness filter (RFC 9309 longest-match + Allow):
+    the broadcast rule-array fold of operators/robots.py vs a DuckDB
+    window-ranked longest-match — same verdict set."""
+    from storm_focused_crawler_spark.operators.robots import rep_filter
+
+    u = _urls(spark, sf_dir)
+    rules = spark.createDataFrame(_REP_RULES_ROWS, RB.RULES_SCHEMA)
+    return rep_filter(u, rules, F.col("path")).select("url")

@@ -303,3 +303,54 @@ def extract_links(html_bytes: bytes | str) -> list[str]:
     """Outlink hrefs in document order, http(s) only (not yet canonicalized)."""
     s = html_bytes.decode("utf-8", errors="replace") if isinstance(html_bytes, bytes) else html_bytes
     return [u for u in _HREF_RE.findall(s) if u.startswith(("http://", "https://"))]
+
+
+# --------------------------------------------------------------------------
+# §2.1-7  Host authority: integer-deterministic PageRank
+# --------------------------------------------------------------------------
+# The reference's RankerBolt fed crawl ordering from a page scorer; the
+# engine optionally blends host-level link authority into the dequeue
+# priority (CrawlConfig.host_rank_weight).  To keep the blended ordering
+# bit-identical between the Spark plan and the sequential oracle under
+# ANY partitioning, ranks are INTEGER micro-units (parts of PAGERANK_SCALE)
+# with integer-division contributions — order-independent sums, unlike
+# double accumulation.  operators/graph.pagerank is the distributed twin.
+
+PAGERANK_SCALE = 10**9  # rank micro-units; all arithmetic stays in int64
+PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN = 85, 100  # damping 0.85 as a ratio
+
+
+def pagerank_py(edge_list: list[tuple[str, str]], iters: int = 10) -> dict[str, int]:
+    """Pure-python integer PageRank: node -> rank micro-units.
+
+    Bit-identical to operators/graph.pagerank (pytest-locked in
+    tests/test_graph.py); multi-edges count per occurrence, dangling
+    mass spreads uniformly, floor losses are deterministic."""
+    nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
+    n = len(nodes)
+    deg: dict[str, int] = {}
+    for s, _ in edge_list:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: PAGERANK_SCALE // n for v in nodes}
+    base = (PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)) // (
+        PAGERANK_DAMP_DEN * n
+    )
+    for _ in range(iters):
+        dang = sum(r for v, r in rank.items() if v not in deg)
+        s: dict[str, int] = {v: 0 for v in nodes}
+        for src, dst in edge_list:
+            s[dst] += rank[src] // deg[src]
+        rank = {
+            v: base + (PAGERANK_DAMP_NUM * (s[v] + dang // n)) // PAGERANK_DAMP_DEN
+            for v in nodes
+        }
+    return rank
+
+
+def blended_priority(score: float, rank_i: int, weight: float) -> float:
+    """§2.1-7 dequeue priority: round6(score + w · rank_i/SCALE).
+
+    The exact expression (same operation order) runs JVM-side in the
+    engine; IEEE-754 doubles + half-even rounding make the two
+    bit-identical.  rank_i = 0 for hosts absent from the graph."""
+    return round(score + weight * (rank_i / float(PAGERANK_SCALE)), 6)

@@ -96,3 +96,48 @@ def test_crawl_without_mapping_leaves_shortener_unresolved(spark, tmp_path, mini
     assert r1_sched == {b, "https://sho.rt/abc"}
     r1_fetched = {r["url"] for r in store.read(spark, 1, "results").collect()}
     assert r1_fetched == {b}
+
+
+def test_close_mapping_chains_cycles_and_passthrough(spark):
+    from storm_focused_crawler_spark.functions.udfs import close_mapping
+
+    mapping = spark.createDataFrame(
+        [
+            ("https://s.rt/1", "https://s.rt/2"),   # chain hop 1
+            ("https://s.rt/2", "https://long.example/a"),  # chain hop 2
+            ("https://s.rt/x", "https://s.rt/y"),   # 2-cycle
+            ("https://s.rt/y", "https://s.rt/x"),
+            ("https://s.rt/solo", "https://long.example/b"),
+        ],
+        "short_url string, long_url string",
+    )
+    got = {r["short_url"]: r["long_url"] for r in close_mapping(mapping).collect()}
+    assert got["https://s.rt/1"] == "https://long.example/a"  # chain closed
+    assert got["https://s.rt/2"] == "https://long.example/a"
+    assert got["https://s.rt/solo"] == "https://long.example/b"
+    # cycles terminate deterministically at the last url before revisit
+    assert got["https://s.rt/x"] in ("https://s.rt/x", "https://s.rt/y")
+    assert got["https://s.rt/y"] in ("https://s.rt/x", "https://s.rt/y")
+
+
+def test_crawl_resolves_chained_shorteners_same_round(spark, tmp_path, mini_fixture):
+    """shortener → shortener → target must fully resolve at discovery
+    (the mapping is closed at load), so the target is crawled the round
+    after the page linking the first shortener — VERDICT r02 #7."""
+    from storm_focused_crawler_spark import driver as drv
+
+    a, b, c = mini_fixture.pop("_urls")
+    # replace the single-hop mapping with a 2-hop chain to the target
+    exp = str(tmp_path / "chained_exp.parquet")
+    spark.createDataFrame(
+        [("https://sho.rt/abc", "https://sho.rt/hop2"),
+         ("https://sho.rt/hop2", c)],
+        "short_url string, long_url string",
+    ).write.parquet(exp)
+    mini_fixture["url_expansions"] = exp
+    cfg = drv.CrawlConfig(rounds=2, capacity=8, keywords=("data",))
+    store = drv.run_crawl(spark, mini_fixture, cfg, str(tmp_path / "wd_chain"))
+    r1 = {r["url"] for r in store.read(spark, 1, "ordering").collect()}
+    assert r1 == {b, c}, r1  # the 2-hop chain resolved within 2 rounds
+    r1_fetched = {r["url"] for r in store.read(spark, 1, "results").collect()}
+    assert c in r1_fetched
