@@ -49,6 +49,12 @@ def parse_args(argv=None):
                     help="(short_url, long_url) parquet mapping for shortener resolution")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--keywords", default=None, help="comma-separated topic keywords")
+    ap.add_argument("--host-rank-weight", type=float, default=0.0,
+                    help="blend host PageRank authority into dequeue priority (§2.1-7)")
+    ap.add_argument("--host-rank-iters", type=int, default=5)
+    ap.add_argument("--scorer", choices=("keywords", "topic_nb"), default="keywords",
+                    help="page relevance scorer: keyword overlap or trained NB posterior")
+    ap.add_argument("--nb-target-topic", default="databases")
     return ap.parse_args(argv)
 
 
@@ -81,7 +87,11 @@ def main(argv=None) -> int:
                       keywords=kw, n_salts=args.n_salts, use_bloom=args.bloom,
                       bloom_shards=args.bloom_shards,
                       bloom_bits_per_shard=args.bloom_bits,
-                      build_text_index=args.text_index)
+                      build_text_index=args.text_index,
+                      host_rank_weight=args.host_rank_weight,
+                      host_rank_iters=args.host_rank_iters,
+                      scorer=args.scorer,
+                      nb_target_topic=args.nb_target_topic)
     t0 = time.time()
     store = run_crawl(spark, paths, cfg, args.workdir, resume=not args.no_resume)
     last = store.latest_round()

@@ -77,6 +77,12 @@ class CrawlConfig:
     # (host_edges), like `seen`.
     host_rank_weight: float = 0.0
     host_rank_iters: int = 5
+    # page relevance scorer: "keywords" = §2.1-4 keyword overlap (the
+    # parity default); "topic_nb" = trained multinomial-NB posterior of
+    # nb_target_topic (functions/topic_nb.score_text — one python
+    # function shared with the oracle, so parity stays byte-exact)
+    scorer: str = "keywords"
+    nb_target_topic: str = "databases"
 
 
 # --------------------------------------------------------------------------
@@ -175,11 +181,21 @@ def run_round(
     w_asof = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
     latest = fetched.withColumn("_rn", F.row_number().over(w_asof)).filter(F.col("_rn") == 1)
 
+    if cfg.scorer == "topic_nb":
+        from storm_focused_crawler_spark.functions.topic_nb import score_nb_col
+
+        def _page_score():
+            return score_nb_col(F.col("text_x"), cfg.nb_target_topic)
+    elif cfg.scorer == "keywords":
+        def _page_score():
+            return score_col(F.col("text_x"), list(cfg.keywords))
+    else:
+        raise ValueError(f"unknown scorer {cfg.scorer!r}")
     ex = (
         latest.withColumn("text_x", extract_text_col(F.col("html")))
         .withColumn("links_raw", extract_links_col(F.col("html")))
         .drop("html")  # html bytes never cross a shuffle (SURVEY §7.4-4)
-        .withColumn("page_score", score_col(F.col("text_x"), list(cfg.keywords)))
+        .withColumn("page_score", _page_score())
         .withColumn("n_links", F.size("links_raw"))
         .observe(
             obs["extracted"],

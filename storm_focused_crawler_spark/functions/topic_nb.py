@@ -26,11 +26,13 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-
-from pyspark.sql import DataFrame, Window
-from pyspark.sql import functions as F
+from typing import TYPE_CHECKING
 
 from storm_focused_crawler_spark.spec import tokenize
+
+if TYPE_CHECKING:  # pyspark imports stay function-local so the
+    from pyspark.sql import DataFrame  # Spark-free oracle can import
+    #                                    this module (like spec.py)
 
 SCALE = 10**6  # log-weight micro-units
 
@@ -113,11 +115,14 @@ def train() -> tuple[list[tuple[str, str, int]], list[tuple[str, int]]]:
     return weights, defaults
 
 
-def classify(docs: DataFrame, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
+def classify(docs: "DataFrame", id_col: str = "doc_id",
+             text_col: str = "text") -> "DataFrame":
     """(id, pred_topic, score_i): argmax over topics of the integer NB
     log-likelihood; empty docs score n_tok=0 ⇒ all topics tie ⇒
     lexicographically-first topic (deterministic, documented)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark = docs.sparkSession
     weights, defaults = train()
     wdf = spark.createDataFrame(weights, "topic string, tok string, w long")
@@ -151,6 +156,72 @@ def classify(docs: DataFrame, id_col: str = "doc_id",
                 F.col("topic").alias("pred_topic"),
                 "score_i")
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-scorer surface (§2.1-4 alternative, CrawlConfig.scorer="topic_nb")
+# ---------------------------------------------------------------------------
+
+TARGET_TOPIC_DEFAULT = "databases"
+
+_MODEL_CACHE: dict | None = None
+
+
+def _model():
+    """{(topic idx): ...} dict form of train(), built once per process."""
+    global _MODEL_CACHE
+    if _MODEL_CACHE is None:
+        weights, defaults = train()
+        topics = [t for t, _ in defaults]
+        wmap: dict[str, list[int]] = {}
+        dflt = [d for _, d in defaults]
+        tidx = {t: i for i, t in enumerate(topics)}
+        for t, tok, w in weights:
+            row = wmap.setdefault(tok, list(dflt))
+            row[tidx[t]] = w
+        _MODEL_CACHE = {"topics": topics, "wmap": wmap, "dflt": dflt}
+    return _MODEL_CACHE
+
+
+def score_text(text: str, target: str = TARGET_TOPIC_DEFAULT) -> float:
+    """Posterior P(target topic | text) under the NB model, float64,
+    round half-even to 6 — the crawl's alternative relevance scorer.
+
+    ONE python function shared between the sequential oracle and the
+    engine's pandas UDF (score_nb_col), so crawl parity with
+    scorer="topic_nb" is byte-exact by construction, exactly like
+    spec.extract_text.  Uniform priors; empty text ⇒ uniform posterior.
+    """
+    m = _model()
+    topics, wmap, dflt = m["topics"], m["wmap"], m["dflt"]
+    ll = [0] * len(topics)
+    for tok in tokenize(text):
+        row = wmap.get(tok)
+        if row is None:
+            for i, d in enumerate(dflt):
+                ll[i] += d
+        else:
+            for i, w in enumerate(row):
+                ll[i] += w
+    # softmax over micro-unit log-likelihoods; fixed (sorted-topic)
+    # summation order keeps the doubles identical everywhere
+    fl = [x / float(SCALE) for x in ll]
+    mx = max(fl)
+    exps = [math.exp(x - mx) for x in fl]
+    return round(exps[topics.index(target)] / sum(exps), 6)
+
+
+def score_nb_col(text_col, target: str = TARGET_TOPIC_DEFAULT):
+    """Arrow-batched column twin of score_text (runs on the ≤capacity
+    dequeued rows per crawl round — bounded, never the full corpus)."""
+    from pyspark.sql import functions as F
+
+    # no type hints: pandas is function-local, so string annotations
+    # can't resolve under `from __future__ import annotations`
+    def _s_impl(texts):
+        return texts.map(lambda t: score_text(t or "", target))
+
+    return F.pandas_udf("double")(_s_impl)(text_col)
 
 
 def classify_sql(table: str = "documents", id_col: str = "doc_id",

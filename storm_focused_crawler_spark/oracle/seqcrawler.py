@@ -39,6 +39,9 @@ class CrawlConfig:
     # (0.0 = pure relevance ordering, the pre-round-3 behavior)
     host_rank_weight: float = 0.0
     host_rank_iters: int = 5
+    # "keywords" (§2.1-4) or "topic_nb" (functions/topic_nb.score_text)
+    scorer: str = "keywords"
+    nb_target_topic: str = "databases"
 
 
 @dataclass
@@ -143,7 +146,12 @@ def crawl(
                 continue  # fetch miss: seen, no result
             _ts, html, _text, lang = cap
             text = spec.extract_text(html)
-            page_score = spec.relevance_score(text, cfg.keywords)
+            if cfg.scorer == "topic_nb":
+                from storm_focused_crawler_spark.functions.topic_nb import score_text
+
+                page_score = score_text(text, cfg.nb_target_topic)
+            else:
+                page_score = spec.relevance_score(text, cfg.keywords)
             links = [spec.canon(u) for u in spec.extract_links(html)]
             res.results.append((r, seq, url, page_score, text, lang, len(links)))
             for link in links:

@@ -60,3 +60,58 @@ def test_weight_join_is_broadcast(spark):
     df = spark.createDataFrame([(1, "hash join plan")], "doc_id long, text string")
     plan = TN.classify(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# Crawl-scorer surface: scorer="topic_nb" parity (engine == oracle)
+# --------------------------------------------------------------------------
+
+
+def test_score_text_is_a_probability_and_deterministic():
+    s1 = TN.score_text("the hash join builds a table in memory")
+    s2 = TN.score_text("the hash join builds a table in memory")
+    assert s1 == s2
+    assert 0.0 <= s1 <= 1.0
+    # database-y text scores higher for the databases topic than cooking text
+    assert s1 > TN.score_text("knead the dough and let it rest")
+    # empty text = uniform posterior
+    assert TN.score_text("") == round(1.0 / len(TN.SEED_CORPUS), 6)
+
+
+def test_crawl_parity_with_nb_scorer(spark, sf_dir, tmp_path):
+    """Full crawl parity (ordering + seen) with the trained scorer on,
+    at 2 and 32 shuffle partitions — and the NB ordering must differ
+    from the keyword ordering (the trained scorer is load-bearing)."""
+    from storm_focused_crawler_spark import driver as drv
+    from storm_focused_crawler_spark.fixtures import gen_pages
+    from storm_focused_crawler_spark.oracle import seqcrawler as sq
+
+    paths = gen_pages.ensure(sf_dir)
+    pages, seeds, robots, budgets = sq.load_fixture_inputs(paths)
+    kw = tuple(gen_pages.topic_keywords())
+    oracle_nb = sq.crawl(pages, seeds, robots, budgets,
+                         sq.CrawlConfig(rounds=3, capacity=64, keywords=kw,
+                                        scorer="topic_nb"))
+    oracle_kw = sq.crawl(pages, seeds, robots, budgets,
+                         sq.CrawlConfig(rounds=3, capacity=64, keywords=kw))
+    assert sorted(oracle_nb.ordering) != sorted(oracle_kw.ordering), (
+        "NB scorer is vacuous on this fixture"
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    for parts in (2, 32):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            cfg = drv.CrawlConfig(rounds=3, capacity=64, keywords=kw,
+                                  scorer="topic_nb")
+            store = drv.run_crawl(spark, paths, cfg,
+                                  str(tmp_path / f"nb{parts}"))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        ordering = []
+        for r in range(3):
+            ordering += [(x["round"], x["seq"], x["url"])
+                         for x in store.read(spark, r, "ordering").collect()]
+        assert sorted(ordering) == sorted(oracle_nb.ordering), f"parts={parts}"
+        seen = {x["url_hash"]
+                for x in store.read_union(spark, 2, "seen").collect()}
+        assert seen == oracle_nb.seen_hashes
