@@ -82,6 +82,10 @@ def main() -> None:
     shards = B.build_shards(hashes, 4, 1 << 12)
     routed = B.probe_transform(spark, shards, 4, 1 << 12, broadcast_max_bytes=0)
 
+    from storm_focused_crawler_spark.operators import cuckoo as CK
+
+    ck_shards = CK.build_shards(hashes, 4, 1 << 10)
+
     rep_rules = spark.createDataFrame(
         [("h.ex", "/a", False), ("h.ex", "/a/b", True)], RB.RULES_SCHEMA
     )
@@ -114,6 +118,11 @@ def main() -> None:
          "One Exchange on (shard) routes each hash to the task holding its "
          "bitset — a cogroup, not an N-times-replicated broadcast.",
          routed(hashes)),
+        ("Shard-routed cuckoo probe (beyond-broadcast path)",
+         "Same cogroup shape as the Bloom probe over the deletion-capable "
+         "cuckoo sidecar (operators/cuckoo.py): one Exchange on (shard), "
+         "each task deserializes exactly one fingerprint table.",
+         CK.probe_routed(hashes, ck_shards, 4, 1 << 10)),
         ("Char-n-gram language ID — Arrow scorer (hot path)",
          "ONE narrow ArrowEvalPython pass: no Generate (explode), no "
          "Exchange at all.  The relational twin below remains the "

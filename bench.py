@@ -45,6 +45,7 @@ HEADLINE = [
     "graph_host_rank",
     "filter_robots_rep",
     "bloom_build_merge",
+    "cuckoo_build_merge",
 ]
 
 CRAWL_ROUNDS = 3

@@ -58,10 +58,20 @@ class CrawlConfig:
     n_salts: int = 8
     url_buckets: int = 16
     use_bloom: bool = False
+    # which advisory seen-filter sidecar use_bloom enables: "bloom"
+    # (bitset OR-merge, operators/bloom.py) or "cuckoo" (fingerprint
+    # table with deletion support, operators/cuckoo.py).  Both honor
+    # the same §2.1-3 contract — probe-negative ⇒ definitively unseen;
+    # the exact anti-join stays the membership authority — so the
+    # crawl ordering is identical under either (tested).
+    seen_filter: str = "bloom"
     bloom_shards: int = 8
     bloom_bits_per_shard: int = 1 << 20
-    # broadcast the bitsets while total ≤ this; shard-routed probe beyond
-    # (the 10^10-URL / ~12 GiB-bitset path — bloom.probe_routed)
+    # cuckoo sizing: buckets/shard (power of two, 4 slots each) — size
+    # for load ≤ 0.8; 2^17 buckets ≈ 524k slots ≈ 1 MiB/shard
+    cuckoo_buckets_per_shard: int = 1 << 17
+    # broadcast the filter while total ≤ this; shard-routed probe beyond
+    # (the 10^10-URL / ~12 GiB-bitset path — bloom/cuckoo.probe_routed)
     bloom_broadcast_max_bytes: int = 64 << 20
     max_budget: int | None = None  # literal WindowGroupLimit bound; computed once per crawl
     compact_every: int = 64  # rewrite the full seen set every N rounds (bounds delta-scan fan-in)
@@ -378,9 +388,18 @@ def run_crawl(
         seen = store.read_union(spark, last, "seen")
         start = last + 1
 
-    from storm_focused_crawler_spark.operators import bloom
+    from storm_focused_crawler_spark.operators import bloom, cuckoo
 
-    bloom_cfg = {"n_shards": cfg.bloom_shards, "n_bits": cfg.bloom_bits_per_shard}
+    # the two sidecars share one module API (build_shards/merge_shards/
+    # probe_transform(spark, shards, n_shards, PARAM2, broadcast_max));
+    # PARAM2 is bits-per-shard for bloom, buckets-per-shard for cuckoo
+    if cfg.seen_filter == "cuckoo":
+        filt, filt_param2 = cuckoo, cfg.cuckoo_buckets_per_shard
+        bloom_cfg = {"kind": "cuckoo", "n_shards": cfg.bloom_shards,
+                     "n_buckets": cfg.cuckoo_buckets_per_shard}
+    else:
+        filt, filt_param2 = bloom, cfg.bloom_bits_per_shard
+        bloom_cfg = {"n_shards": cfg.bloom_shards, "n_bits": cfg.bloom_bits_per_shard}
     for rnd in range(start, cfg.rounds):
         t0 = time.time()
         # a previous bloom is usable only if it exists AND was built with
@@ -399,8 +418,8 @@ def run_crawl(
             # shards snapshot committed by the previous round; advisory
             # only — eligible() re-checks positives exactly (§2.1-3)
             shards = store.read(spark, rnd - 1, "bloom")
-            probe = bloom.probe_transform(
-                spark, shards, cfg.bloom_shards, cfg.bloom_bits_per_shard,
+            probe = filt.probe_transform(
+                spark, shards, cfg.bloom_shards, filt_param2,
                 broadcast_max_bytes=cfg.bloom_broadcast_max_bytes,
             )
         host_ranks = pr_out = None
@@ -424,11 +443,9 @@ def run_crawl(
         if cfg.use_bloom:
             if have_prev_bloom:
                 # incremental: hash only this round's delta, OR into prev
-                new_shards = bloom.merge_shards(
+                new_shards = filt.merge_shards(
                     store.read(spark, rnd - 1, "bloom"),
-                    bloom.build_shards(
-                        out["seen"], cfg.bloom_shards, cfg.bloom_bits_per_shard
-                    ),
+                    filt.build_shards(out["seen"], cfg.bloom_shards, filt_param2),
                 )
             else:
                 # no usable prior filter (bloom newly enabled mid-crawl,
@@ -436,9 +453,7 @@ def run_crawl(
                 # pre-bloom rounds stay covered — a delta-only filter
                 # would route their URLs past the anti-join as sure_new
                 full = seen.select("url_hash").unionByName(out["seen"].select("url_hash"))
-                new_shards = bloom.build_shards(
-                    full, cfg.bloom_shards, cfg.bloom_bits_per_shard
-                )
+                new_shards = filt.build_shards(full, cfg.bloom_shards, filt_param2)
             out["bloom"] = new_shards
         persisted = out.pop("_persisted")
         observations = out.pop("_observations", {})
@@ -481,3 +496,102 @@ def run_crawl(
         frontier = store.read(spark, rnd, "frontier")
         seen = store.read_union(spark, rnd, "seen")
     return store
+
+
+# --------------------------------------------------------------------------
+# recrawl maintenance commit (makes cuckoo deletion load-bearing)
+# --------------------------------------------------------------------------
+
+
+def recrawl(
+    spark: SparkSession,
+    store: ParquetSnapshotStore,
+    cfg: CrawlConfig,
+    victims: DataFrame,
+    rescore: float = 0.0,
+) -> int:
+    """Evict *victims* (df with canonical ``url``) from the URL-seen
+    state and re-enqueue them, so subsequent rounds fetch them again —
+    the refresh/recrawl policy of a long-running crawl.
+
+    Commits ONE maintenance round (``latest_round()+1``) through the
+    normal atomic snapshot protocol — no in-place mutation, a kill
+    mid-maintenance loses nothing:
+
+      * ``seen_full``  — compacted seen set MINUS victims; the manifest
+        compaction pointer makes every later ``read_union('seen')``
+        resolve to it in O(1), so deletion costs one seen-set rewrite
+        exactly like a scheduled compaction round (O(|seen|), amortized
+        by ``compact_every`` at 10^10 scale);
+      * ``frontier``   — previous frontier ∪ victims (anti-joined first
+        so an already-queued victim is not duplicated), victims carry
+        ``score=rescore`` and ``discovered_round=maintenance round``;
+      * ``bloom``      — the seen-filter sidecar, updated to match:
+        the CUCKOO sidecar supports targeted ``delete_from_shards``
+        (touches each victim's one shard, no rebuild, no full-seen
+        scan); a BLOOM sidecar cannot delete and is REBUILT from the
+        new ``seen_full`` — this asymmetry is exactly why the north
+        star names a cuckoo option.
+
+    Returns the committed maintenance round number.  Resume semantics:
+    the maintenance round consumes one round slot; continue crawling by
+    calling ``run_crawl`` with a larger ``cfg.rounds``.
+    """
+    last = store.latest_round()
+    if last is None:
+        raise ValueError("recrawl needs at least one committed round")
+    v = victims.select(
+        "url", F.xxhash64("url").alias("url_hash")
+    ).dropDuplicates(["url_hash"])
+
+    seen_now = store.read_union(spark, last, "seen").select("url_hash")
+    seen_full = seen_now.join(v.select("url_hash"), "url_hash", "left_anti")
+
+    prev_frontier = store.read(spark, last, "frontier")
+    mnt = last + 1
+    requeued = (
+        v.join(prev_frontier.select("url_hash"), "url_hash", "left_anti")
+        .select(
+            "url",
+            "url_hash",
+            F.lit(float(rescore)).alias("score"),
+            F.lit(0).alias("depth"),
+            F.lit(mnt).alias("discovered_round"),
+        )
+    )
+    tables: dict[str, DataFrame] = {
+        "frontier": prev_frontier.unionByName(requeued),
+        "seen_full": seen_full,
+    }
+
+    amend: dict = {"maintenance": "recrawl"}
+    if cfg.use_bloom:
+        from storm_focused_crawler_spark.operators import bloom, cuckoo
+
+        prev_m = store.manifest(last)
+        if cfg.seen_filter == "cuckoo":
+            bloom_cfg = {"kind": "cuckoo", "n_shards": cfg.bloom_shards,
+                         "n_buckets": cfg.cuckoo_buckets_per_shard}
+            if "bloom" in prev_m["tables"] and prev_m.get("bloom_cfg") == bloom_cfg:
+                # targeted deletion: each victim touches one shard
+                tables["bloom"] = cuckoo.delete_from_shards(
+                    store.read(spark, last, "bloom"),
+                    v.select("url_hash"),
+                    cfg.bloom_shards,
+                )
+            else:
+                tables["bloom"] = cuckoo.build_shards(
+                    seen_full, cfg.bloom_shards, cfg.cuckoo_buckets_per_shard
+                )
+        else:
+            # Bloom cannot delete — rebuild from the compacted seen set
+            bloom_cfg = {"n_shards": cfg.bloom_shards,
+                         "n_bits": cfg.bloom_bits_per_shard}
+            tables["bloom"] = bloom.build_shards(
+                seen_full, cfg.bloom_shards, cfg.bloom_bits_per_shard
+            )
+        amend["bloom_cfg"] = bloom_cfg
+
+    store.write_round(mnt, tables)
+    store.amend_manifest(mnt, amend)
+    return mnt

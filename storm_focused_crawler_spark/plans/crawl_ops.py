@@ -96,6 +96,42 @@ def bloom_build_merge(spark, sf_dir):
     )
 
 
+@op("cuckoo_build_merge", None)  # pytest-locked (tests/test_cuckoo.py), rows-only
+def cuckoo_build_merge(spark, sf_dir):
+    """Cuckoo half of the north star's "Bloom/cuckoo-filter URL-seen
+    set": build per-half shards, semantic merge, emit per-shard stats.
+    Entry COUNT is order-invariant (set-semantic inserts); table bytes
+    are not part of the contract (see operators/cuckoo.py)."""
+    from storm_focused_crawler_spark.operators import cuckoo as CK
+
+    u = _urls(spark, sf_dir).select(F.xxhash64("url").alias("url_hash"))
+    half_a = u.filter(F.pmod(F.col("url_hash"), F.lit(2)) == 0)
+    half_b = u.filter(F.pmod(F.col("url_hash"), F.lit(2)) == 1)
+    n_buckets = 1 << 10
+    merged = CK.merge_shards(
+        CK.build_shards(half_a, n_shards=4, n_buckets=n_buckets),
+        CK.build_shards(half_b, n_shards=4, n_buckets=n_buckets),
+    )
+    # stored-entry count = non-zero uint16 slots (2 bytes each, big- vs
+    # little-endian irrelevant for the zero test) + stash entries (8B each)
+    nonzero_slots = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), (F.octet_length("table") / 2 - 1).cast("int")),
+            lambda i: (
+                F.conv(F.substring(F.hex(F.col("table")), (i * 4 + 1).cast("int"), 4), 16, 10)
+                != "0"
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return merged.select(
+        "shard",
+        "n",
+        (nonzero_slots + F.octet_length("stash") / 8).cast("long").alias("n_entries"),
+    ).orderBy("shard")
+
+
 @op("agg_round_metrics", None)
 def agg_round_metrics(spark, sf_dir):
     u = _urls(spark, sf_dir).repartition(4, "url")

@@ -159,3 +159,40 @@ def test_resume_exact(spark, fixture_paths, oracle_result, tmp_path):
     ordering, results, seen = _collect(spark, store)
     assert ordering == sorted(oracle_result.ordering)
     assert seen == oracle_result.seen_hashes
+
+
+def test_crawl_parity_with_cuckoo(spark, fixture_paths, oracle_result, tmp_path):
+    """Same parity gate with the CUCKOO seen-filter sidecar (the other
+    half of the north star's "Bloom/cuckoo-filter URL-seen set"):
+    identical ordering/seen/results — the filter is advisory under the
+    same §2.1-3 contract, broadcast probe mode."""
+    wd = str(tmp_path / "cuckoorun")
+    cfg = drv.CrawlConfig(
+        rounds=ROUNDS, capacity=CAPACITY,
+        keywords=tuple(gen_pages.topic_keywords()),
+        use_bloom=True, seen_filter="cuckoo",
+        bloom_shards=4, cuckoo_buckets_per_shard=1 << 10,
+    )
+    store = drv.run_crawl(spark, fixture_paths, cfg, wd)
+    ordering, results, seen = _collect(spark, store)
+    assert ordering == sorted(oracle_result.ordering)
+    assert seen == oracle_result.seen_hashes
+    assert set(results) == {t[2] for t in oracle_result.results}
+
+
+def test_crawl_parity_with_routed_cuckoo(spark, fixture_paths, oracle_result, tmp_path):
+    """Cuckoo sidecar with the probe FORCED onto the shard-routed
+    (beyond-broadcast) cogroup path — the 10^10-URL configuration."""
+    wd = str(tmp_path / "cuckoorouted")
+    cfg = drv.CrawlConfig(
+        rounds=ROUNDS, capacity=CAPACITY,
+        keywords=tuple(gen_pages.topic_keywords()),
+        use_bloom=True, seen_filter="cuckoo",
+        bloom_shards=4, cuckoo_buckets_per_shard=1 << 10,
+        bloom_broadcast_max_bytes=0,  # force probe_routed
+    )
+    store = drv.run_crawl(spark, fixture_paths, cfg, wd)
+    ordering, results, seen = _collect(spark, store)
+    assert ordering == sorted(oracle_result.ordering)
+    assert seen == oracle_result.seen_hashes
+    assert set(results) == {t[2] for t in oracle_result.results}

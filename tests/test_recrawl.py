@@ -1,0 +1,139 @@
+"""Recrawl maintenance commit (driver.recrawl): evicting URLs from the
+seen state re-fetches them in later rounds, with the cuckoo sidecar
+updated by TARGETED DELETION (no rebuild) — the capability that makes
+the cuckoo half of the north star's seen-filter load-bearing."""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import replace
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_focused_crawler_spark import driver as drv
+from storm_focused_crawler_spark import spec
+from storm_focused_crawler_spark.fixtures import gen_pages
+
+ROUNDS = 2
+CAPACITY = 64
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(sf_dir):
+    return gen_pages.ensure(sf_dir)
+
+
+def _cfg(**kw):
+    base = dict(
+        rounds=ROUNDS, capacity=CAPACITY,
+        keywords=tuple(gen_pages.topic_keywords()),
+        use_bloom=True, seen_filter="cuckoo",
+        bloom_shards=4, cuckoo_buckets_per_shard=1 << 10,
+    )
+    base.update(kw)
+    return drv.CrawlConfig(**base)
+
+
+def _link_discovered_urls(spark, store, paths, n=3):
+    """Deterministic victims: round-1 result urls that are NOT seeds
+    (seed urls would be re-injected anyway and blur the assertion)."""
+    import json
+
+    with open(paths["seeds"]) as f:
+        seeds = set(json.load(f))
+    urls = sorted(
+        r["url"] for r in store.read(spark, 1, "results").collect()
+        if r["url"] not in seeds
+    )
+    assert len(urls) >= n, "fixture too small for recrawl test"
+    return urls[:n]
+
+
+def test_recrawl_refetches_victims_cuckoo(spark, fixture_paths, tmp_path):
+    wd = str(tmp_path / "recrawl_cuckoo")
+    shutil.rmtree(wd, ignore_errors=True)
+    cfg = _cfg()
+    store = drv.run_crawl(spark, fixture_paths, cfg, wd)
+    victims = _link_discovered_urls(spark, store, fixture_paths)
+    vhashes = {spec.xxh64(u) for u in victims}
+    seen_before = {
+        r["url_hash"] for r in store.read_union(spark, ROUNDS - 1, "seen").collect()
+    }
+    assert vhashes <= seen_before  # they were fetched, hence seen
+
+    vdf = spark.createDataFrame([(u,) for u in victims], "url string")
+    # rescore above every fixture relevance score → victims dequeue first
+    mnt = drv.recrawl(spark, store, cfg, vdf, rescore=2.0)
+    assert mnt == ROUNDS
+
+    # seen state after maintenance = before minus victims, resolved via
+    # the compaction pointer (one scan of seen_full, no deltas)
+    m = store.manifest(mnt)
+    assert m["maintenance"] == "recrawl"
+    assert m["compact"]["seen"] == mnt
+    seen_after = {
+        r["url_hash"] for r in store.read_union(spark, mnt, "seen").collect()
+    }
+    assert seen_after == seen_before - vhashes
+
+    # cuckoo sidecar was DELETED from, not rebuilt: victims no longer
+    # probe positive, everything still-seen does (advisory contract)
+    from storm_focused_crawler_spark.operators import cuckoo as C
+
+    shards = store.read(spark, mnt, "bloom")
+    probe = C.probe_col(spark, shards, cfg.bloom_shards, cfg.cuckoo_buckets_per_shard)
+    sdf = spark.createDataFrame([(int(h),) for h in sorted(seen_after)], "url_hash long")
+    assert sdf.withColumn("m", probe(F.col("url_hash"))).filter(~F.col("m")).count() == 0
+
+    # resume: one more crawl round must fetch exactly the victims first,
+    # with byte-identical extracted text (they outscore everything)
+    store = drv.run_crawl(spark, fixture_paths, _cfg(rounds=ROUNDS + 2), wd)
+    next_rnd = mnt + 1
+    refetched = {r["url"]: r["text"]
+                 for r in store.read(spark, next_rnd, "results").collect()}
+    assert set(victims) <= set(refetched)
+    corpus = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(fixture_paths["pages"])
+        .filter(F.col("url").isin(list(victims)))
+        .select("url", "text")
+        .collect()
+    }
+    for u in victims:
+        assert refetched[u].encode() == corpus[u].encode()
+    # and they are seen again afterwards
+    seen_final = {
+        r["url_hash"] for r in store.read_union(spark, next_rnd, "seen").collect()
+    }
+    assert vhashes <= seen_final
+
+
+def test_recrawl_bloom_kind_rebuilds(spark, fixture_paths, tmp_path):
+    """Same maintenance flow with the Bloom sidecar: deletion is
+    impossible, so recrawl rebuilds the filter from the new seen set —
+    verdicts still correct (victims negative, survivors positive)."""
+    wd = str(tmp_path / "recrawl_bloom")
+    shutil.rmtree(wd, ignore_errors=True)
+    cfg = _cfg(seen_filter="bloom", bloom_bits_per_shard=1 << 16)
+    store = drv.run_crawl(spark, fixture_paths, cfg, wd)
+    victims = _link_discovered_urls(spark, store, fixture_paths)
+    vdf = spark.createDataFrame([(u,) for u in victims], "url string")
+    mnt = drv.recrawl(spark, store, cfg, vdf, rescore=2.0)
+
+    from storm_focused_crawler_spark.operators import bloom as B
+
+    shards = store.read(spark, mnt, "bloom")
+    probe = B.probe_col(spark, shards, cfg.bloom_shards, cfg.bloom_bits_per_shard)
+    seen_after = store.read_union(spark, mnt, "seen").select("url_hash")
+    assert (
+        seen_after.withColumn("m", probe(F.col("url_hash"))).filter(~F.col("m")).count()
+        == 0
+    )
+    # the rebuilt filter no longer contains the victims' hashes as
+    # members; allow the FPR residue a Bloom inherently has
+    vhdf = spark.createDataFrame(
+        [(spec.xxh64(u),) for u in victims], "url_hash long"
+    )
+    pos = vhdf.withColumn("m", probe(F.col("url_hash"))).filter(F.col("m")).count()
+    assert pos <= 1  # 3 victims, FPR ~1e-2 ⇒ ≥2 hits is a real bug
