@@ -17,6 +17,13 @@ has a live twin here for deployments that want a continuous crawl:
                               the Redis SISMEMBER/SADD loop as sharded
                               per-group state (batch twin: the exact
                               anti-join in operators/frontier.eligible)
+  * live_crawl_generation   — the WHOLE topology end-to-end: chained
+                              checkpointed queries (seen dedup →
+                              politeness bucket → foreachBatch fetch/
+                              extract/score) with discovered links fed
+                              back into the frontier source — the
+                              reference's continuous loop, exactly-once
+                              across restarts (tests/test_live_crawl.py)
 
 All stateful ops key their state by a hash shard, NOT by url — state
 per group stays bounded and the shard count (not the key cardinality)
@@ -217,3 +224,148 @@ def seen_filter_stream(urls: DataFrame, n_shards: int = N_SHARDS_DEFAULT) -> Dat
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end continuous crawl — the reference topology as chained
+# streaming queries with a link feedback loop
+# ---------------------------------------------------------------------------
+
+FRONTIER_IN_SCHEMA = T.StructType([T.StructField("url", T.StringType())])
+
+
+def _frontier_stream(spark: SparkSession, frontier_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(FRONTIER_IN_SCHEMA)
+        # one batch per availableNow generation → politeness picks are a
+        # deterministic function of the generation's file set
+        .option("maxFilesPerTrigger", 10_000)
+        .parquet(frontier_dir)
+    )
+
+
+def live_crawl_generation(
+    spark: SparkSession,
+    corpus: DataFrame,
+    frontier_dir: str,
+    workdir: str,
+    keywords: list[str],
+    budget_per_host: int = 4,
+    n_shards: int = N_SHARDS_DEFAULT,
+) -> None:
+    """Run ONE generation of the continuous crawl over whatever URL
+    files have accumulated in *frontier_dir* since the last call.
+
+    This is the reference's continuously-running topology ([R] SURVEY
+    §0: RedisSpout → fetch → extract → rank → Updater feeding URLs
+    back to Redis) rebuilt as Structured Streaming:
+
+      Q1  frontier files → sharded stateful URL-seen dedup
+          (seen_filter_stream; the Redis SADD/SISMEMBER loop) →
+          parquet ``unseen/``
+      Q2  ``unseen/`` → per-host politeness token bucket
+          (politeness_limit_stream; budget holds over the WHOLE stream
+          lifetime, not per batch) → foreachBatch: broadcast the tiny
+          admitted set into the static page corpus, take the as-of
+          latest capture per url, extract text/links, keyword-score —
+          append ``results/`` and write discovered links BACK into
+          *frontier_dir* (the topology's feedback edge).
+
+    Both queries checkpoint state + source progress under *workdir*, so
+    repeated calls resume exactly: a URL admitted in generation k stays
+    seen in generation k+n across process restarts (exactly-once,
+    pytest: tests/test_live_crawl.py), and per-host budgets keep
+    counting across generations.  ``trigger(availableNow)`` drains what
+    exists and stops — a production deployment swaps in
+    ``trigger(processingTime=...)`` and a Kafka source with no other
+    code change.
+
+    Scale: state per group is |seen|/n_shards (seen filter) and one
+    counter (politeness); the fetch join broadcasts ≤ Σ budgets rows
+    into the bucketed corpus — the same plan shape as the batch
+    driver's fetch; html never leaves the batch function.
+    """
+    import os
+
+    from storm_focused_crawler_spark.functions.udfs import (
+        canonicalize_udf,
+        extract_links_col,
+        extract_text_col,
+        score_col,
+    )
+
+    unseen_dir = os.path.join(workdir, "unseen")
+    results_dir = os.path.join(workdir, "results")
+
+    q1 = (
+        seen_filter_stream(_frontier_stream(spark, frontier_dir), n_shards)
+        .writeStream.format("parquet")
+        .option("path", unseen_dir)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_seen"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    def fetch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark_b = batch_df.sparkSession
+        admitted = batch_df.select("url")
+        fetched = corpus.join(F.broadcast(admitted), "url", "inner")
+        w_asof = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+        latest = (
+            fetched.withColumn("_rn", F.row_number().over(w_asof))
+            .filter(F.col("_rn") == 1)
+        )
+        ex = (
+            latest.withColumn("text_x", extract_text_col(F.col("html")))
+            .withColumn("links_raw", extract_links_col(F.col("html")))
+            .drop("html")  # html never crosses a shuffle (SURVEY §7.4-4)
+            .withColumn("score", score_col(F.col("text_x"), list(keywords)))
+            .persist()
+        )
+        (
+            ex.select(
+                F.lit(batch_id).alias("batch_id"),
+                "url",
+                "score",
+                F.col("text_x").alias("text"),
+                "lang",
+                F.size("links_raw").alias("n_links"),
+            )
+            .write.mode("append")
+            .parquet(results_dir)
+        )
+        links = (
+            ex.select(F.explode("links_raw").alias("link_raw"))
+            .withColumn("url", canonicalize_udf(F.col("link_raw")))
+            .select("url")
+            .distinct()
+        )
+        # feedback edge: discovered links become the next generation's
+        # frontier input (Q1's checkpointed source picks up new files)
+        links.write.mode("append").parquet(frontier_dir)
+        ex.unpersist()
+
+    unseen = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("url", T.StringType()),
+                    T.StructField("url_hash", T.LongType()),
+                    T.StructField("shard", T.IntegerType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 10_000)
+        .parquet(unseen_dir)
+    )
+    q2 = (
+        politeness_limit_stream(unseen.select("url"), budget_per_host)
+        .writeStream.foreachBatch(fetch_batch)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_fetch"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()

@@ -1,0 +1,142 @@
+"""End-to-end continuous crawl (streaming/live.live_crawl_generation):
+the reference's always-on topology as chained checkpointed streaming
+queries with a link feedback loop.  Asserts the crawl invariants the
+batch engine proves by oracle parity — exactly-once fetch across
+generations, per-host lifetime budget, byte-identical extracted text —
+plus the feedback edge (links found in generation 1 are crawled in
+generation 2)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_focused_crawler_spark import spec
+from storm_focused_crawler_spark.fixtures import gen_pages
+from storm_focused_crawler_spark.streaming import live
+
+BUDGET = 3
+N_SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(sf_dir):
+    return gen_pages.ensure(sf_dir)
+
+
+def _results(spark, workdir):
+    p = os.path.join(workdir, "results")
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def test_live_crawl_generations(spark, fixture_paths, tmp_path):
+    corpus = spark.read.parquet(fixture_paths["pages"])
+    frontier_dir = str(tmp_path / "frontier_in")
+    workdir = str(tmp_path / "live_wd")
+    with open(fixture_paths["seeds"]) as f:
+        seeds = sorted({spec.canon(u) for u in json.load(f)})
+    spark.createDataFrame([(u,) for u in seeds], "url string").write.parquet(
+        frontier_dir
+    )
+    kw = list(gen_pages.topic_keywords())
+
+    live.live_crawl_generation(
+        spark, corpus, frontier_dir, workdir, kw,
+        budget_per_host=BUDGET, n_shards=N_SHARDS,
+    )
+    r1 = _results(spark, workdir)
+    assert r1 is not None and r1.count() > 0
+    rows1 = r1.collect()
+    urls1 = {r["url"] for r in rows1}
+    # everything fetched is a seed this generation (links only land in
+    # the frontier for the NEXT generation) and exists in the corpus
+    assert urls1 <= set(seeds)
+
+    live.live_crawl_generation(
+        spark, corpus, frontier_dir, workdir, kw,
+        budget_per_host=BUDGET, n_shards=N_SHARDS,
+    )
+    r_all = _results(spark, workdir)
+    rows_all = r_all.collect()
+    urls_all = [r["url"] for r in rows_all]
+
+    # exactly-once across generations: checkpointed seen state means no
+    # url is ever fetched twice, even though generation 2 re-reads
+    # nothing and seeds+links overlap
+    assert len(urls_all) == len(set(urls_all))
+    # the feedback edge worked: generation 2 fetched NEW (link-
+    # discovered, non-seed) urls
+    new_urls = set(urls_all) - urls1
+    assert new_urls, "generation 2 crawled nothing — feedback loop broken"
+    assert any(u not in set(seeds) for u in new_urls)
+
+    # byte-identical extracted text per url vs the corpus' as-of-latest
+    # capture, re-extracted by the same pure column expression
+    from storm_focused_crawler_spark.functions.udfs import extract_text_col
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    expect = {
+        r["url"]: r["tx"]
+        for r in corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("url").isin(list(set(urls_all))))
+        .select("url", extract_text_col(F.col("html")).alias("tx"))
+        .collect()
+    }
+    for r in rows_all:
+        assert r["text"].encode() == expect[r["url"]].encode(), r["url"]
+
+    # per-host lifetime budget holds across BOTH generations
+    from storm_focused_crawler_spark.functions.udfs import host_col
+
+    per_host = (
+        r_all.select(host_col(F.col("url")).alias("host"))
+        .groupBy("host")
+        .count()
+        .collect()
+    )
+    assert per_host and all(row["count"] <= BUDGET for row in per_host), per_host
+
+
+def test_live_crawl_generation_idempotent_when_drained(
+    spark, fixture_paths, tmp_path
+):
+    """A generation over an already-drained frontier fetches nothing
+    new (availableNow + checkpoints = safe to re-trigger on a timer)."""
+    corpus = spark.read.parquet(fixture_paths["pages"])
+    frontier_dir = str(tmp_path / "frontier_in2")
+    workdir = str(tmp_path / "live_wd2")
+    with open(fixture_paths["seeds"]) as f:
+        seeds = sorted({spec.canon(u) for u in json.load(f)})[:5]
+    spark.createDataFrame([(u,) for u in seeds], "url string").write.parquet(
+        frontier_dir
+    )
+    kw = list(gen_pages.topic_keywords())
+    for _ in range(2):
+        live.live_crawl_generation(
+            spark, corpus, frontier_dir, workdir, kw,
+            budget_per_host=BUDGET, n_shards=N_SHARDS,
+        )
+    n_after_2 = _results(spark, workdir).count()
+    # drain: run generations until the frontier stops producing new work
+    for _ in range(6):
+        live.live_crawl_generation(
+            spark, corpus, frontier_dir, workdir, kw,
+            budget_per_host=BUDGET, n_shards=N_SHARDS,
+        )
+    drained = _results(spark, workdir).count()
+    live.live_crawl_generation(
+        spark, corpus, frontier_dir, workdir, kw,
+        budget_per_host=BUDGET, n_shards=N_SHARDS,
+    )
+    assert _results(spark, workdir).count() == drained
+    assert drained >= n_after_2
+    # exactly-once still holds over the whole run
+    urls = [r["url"] for r in _results(spark, workdir).collect()]
+    assert len(urls) == len(set(urls))
