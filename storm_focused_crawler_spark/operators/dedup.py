@@ -359,3 +359,75 @@ def embedding_near_pairs(
         .filter(cos >= threshold)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution — near-dup pairs → connected components → keeper
+# ---------------------------------------------------------------------------
+
+
+def cluster_keepers(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 30
+) -> DataFrame:
+    """(doc_id, keeper_id) for every doc in any pair: keeper = the MIN
+    doc id of its connected component — the last step of a real dedup
+    pipeline (pairs say who matches; the cluster says which single copy
+    to keep and which rows to drop).
+
+    Min-label propagation WITH pointer jumping: each iteration every
+    node takes the min over (its own label, its neighbors' labels, its
+    label's label) — the neighbor step moves information one edge, the
+    pointer-jump step (lab(u) := lab(lab(u)), classic parallel-CC path
+    doubling) halves chain depth, so convergence is O(log diameter)
+    rounds, not O(diameter): a 10^6-long chain resolves in ~20 rounds.
+    Per round: two equi-joins + one hash aggregate, state persisted and
+    lineage truncated per step (same discipline as graph.pagerank),
+    fixpoint detected by a changed-row count.  All label math is int64
+    MIN — order- and partitioning-independent, so the result is exact
+    and partition-invariant (tested), and DuckDB can reproduce it with
+    a recursive CTE (the registered oracle).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # each round references lab FOUR times (self + neighbor join +
+    # pointer jump's two sides + the fixpoint probe), so a persist-only
+    # "cut" leaves a logical plan that grows ~4^k — analysis time, not
+    # execution, becomes the bottleneck by round ~6.  localCheckpoint
+    # truncates the PLAN itself (pagerank's 2-ref loop grows linearly
+    # and gets away with persist; a multi-self-ref loop cannot).  On a
+    # cluster, executor loss invalidates local checkpoints — a restart
+    # of this (single-job, minutes-long) resolution re-runs it; swap in
+    # reliable checkpoint(dir) if that tradeoff is wrong for a caller.
+    lab = (
+        edges.select("u").distinct().select("u", F.col("u").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nb = edges.join(lab.select(F.col("u").alias("v"), "lab"), "v").select("u", "lab")
+        jump = lab.join(
+            lab.select(F.col("u").alias("lab"), F.col("lab").alias("lab2")), "lab"
+        ).select("u", F.col("lab2").alias("lab"))
+        new = (
+            lab.unionByName(nb)
+            .unionByName(jump)
+            .groupBy("u")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(lab.select("u", F.col("lab").alias("old")), "u")
+            .filter(F.col("lab") != F.col("old"))
+            .count()
+        )
+        lab.unpersist()
+        lab = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    # lab stays persisted behind the returned frame; callers running one
+    # resolution per job let it age out, long-lived drivers unpersist
+    return lab.select(F.col("u").alias("doc_id"), F.col("lab").alias("keeper_id"))

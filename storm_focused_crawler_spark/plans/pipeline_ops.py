@@ -104,6 +104,50 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return v.filter(jac >= t).select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
 
 
+@op(
+    "dedup_cluster_keeper",
+    # same pairs CTEs as dedup_ngram_jaccard, then connected components
+    # via a recursive transitive-closure CTE: keeper(u) = min id
+    # reachable from u over the undirected pair edges (incl. u itself)
+    """WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS shingles
+      FROM documents WHERE len(string_split(text,' ')) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    df AS (SELECT s, count(*) AS dfreq FROM ex GROUP BY s),
+    ranked AS (
+      SELECT ex.doc_id, ex.s, ex.n,
+             row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.dfreq ASC, ex.s ASC) AS r
+      FROM ex JOIN df USING (s)),
+    prefix AS (SELECT doc_id, s, n FROM ranked WHERE r <= n - ceil(0.3 * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE a.n >= ceil(0.3 * b.n) AND b.n >= ceil(0.3 * a.n)),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b),
+    pairs AS (
+      SELECT id_a, id_b FROM v
+      WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3),
+    edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+              UNION SELECT id_b AS u, id_a AS w FROM pairs),
+    reach(u, w) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.w FROM edges e JOIN reach r ON r.u = e.w)
+    SELECT u AS doc_id, min(w) AS keeper_id FROM reach GROUP BY u""",
+)
+def dedup_cluster_keeper(spark, sf_dir):
+    """Near-dup pairs → connected components → keeper per cluster
+    (operators/dedup.cluster_keepers) over the ngram-jaccard pairs."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return D.cluster_keepers(pairs)
+
+
 @op("dedup_minhash_lsh", None)  # xxhash64-based sig — pytest-locked, rows-only here
 def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.3)
