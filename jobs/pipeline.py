@@ -7,9 +7,19 @@ a documents table, built entirely from this repo's registry operators:
     quality filter (text_quality_score)
   → language ID + gate (functions/langid, char 1-3-gram profiles)
   → exact dedup (keep min doc_id per identical text)
-  → near-dup removal (MinHash-LSH pairs, drop the larger id of each
-    verified pair — deterministic survivor rule)
+  → near-dup removal (MinHash-LSH verified pairs → resolution rule)
   → inverted-index build (operators/text_index postings + token_df)
+
+Near-dup resolution (--dedup-resolution):
+  * ``clusters`` (default, the standard corpus-dedup rule): connected
+    components over the pair graph, keep the min id per component
+    (operators/dedup.cluster_keepers).  A star {1~3, 2~3} keeps only
+    doc 1 — every component contributes exactly one survivor.
+  * ``pairs`` (the pre-round-3 rule, kept for compat): drop the larger
+    id of every verified pair.  The same star keeps {1, 2} (they are
+    not near-dups of each other), but a chain {1~2, 2~3} drops doc 3
+    whose only match was itself dropped.
+  Both rules leave a survivor set with zero verified pairs inside it.
 
 Outputs under --out: clean/ (surviving docs), postings/, token_df/,
 and a summary JSON line on stdout (one line, machine-readable — same
@@ -39,11 +49,15 @@ def parse_args(argv=None):
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--langs", default="en", help="comma-separated allowed pred langs")
     ap.add_argument("--jaccard", type=float, default=0.5, help="near-dup threshold")
+    ap.add_argument("--dedup-resolution", choices=("clusters", "pairs"),
+                    default="clusters",
+                    help="near-dup survivor rule (see module docstring)")
     return ap.parse_args(argv)
 
 
 def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
-                 langs: set[str], jaccard: float) -> dict:
+                 langs: set[str], jaccard: float,
+                 dedup_resolution: str = "clusters") -> dict:
     from pyspark.sql import functions as F
 
     from storm_focused_crawler_spark.functions import langid as L
@@ -85,11 +99,15 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
     q = q.join(keepers, "doc_id")
     n_exact = q.count()
 
-    # 4. near-dup removal: verified MinHash pairs, drop the larger id
-    # (id_a < id_b by construction → the min-id representative survives
-    # every pairwise comparison it wins; deterministic)
+    # 4. near-dup removal: verified MinHash pairs → survivor rule
     pairs = D.minhash_lsh_pairs(q, "doc_id", "text", threshold=jaccard)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    if dedup_resolution == "clusters":
+        # connected components, one survivor (min id) per component
+        comp = D.cluster_keepers(pairs)
+        losers = comp.filter(F.col("doc_id") != F.col("keeper_id")).select("doc_id")
+    else:
+        # pairwise rule: drop the larger id of each pair (id_a < id_b)
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     clean = q.join(losers, "doc_id", "left_anti").persist()
     n_clean = clean.count()
 
@@ -108,6 +126,7 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
         "after_lang": n_lang,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_clean,
+        "dedup_resolution": dedup_resolution,
         "out": out,
     }
 
@@ -125,6 +144,7 @@ def main(argv=None) -> int:
     summary = run_pipeline(
         spark, docs, args.out, args.min_quality,
         set(args.langs.split(",")), args.jaccard,
+        dedup_resolution=args.dedup_resolution,
     )
     print(json.dumps(summary))
     spark.stop()

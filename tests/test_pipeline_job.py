@@ -43,3 +43,25 @@ def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
         r["doc_id"] for r in spark.read.parquet(f"{out2}/clean").select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_pipeline_cluster_vs_pairs_resolution(spark, sf_dir, tmp_path):
+    """The cluster rule keeps exactly one survivor per pair-graph
+    component (≤ the pairwise rule's survivors); both leave zero
+    verified pairs inside the surviving corpus."""
+    s_cl = run_pipeline(
+        spark, f"{sf_dir}/documents.parquet", str(tmp_path / "cl"),
+        0.3, {"en"}, 0.5, dedup_resolution="clusters",
+    )
+    s_pw = run_pipeline(
+        spark, f"{sf_dir}/documents.parquet", str(tmp_path / "pw"),
+        0.3, {"en"}, 0.5, dedup_resolution="pairs",
+    )
+    from storm_focused_crawler_spark.operators import dedup as D
+
+    assert s_cl["after_near_dedup"] <= s_pw["after_near_dedup"]
+    for p in ("cl", "pw"):
+        clean = spark.read.parquet(str(tmp_path / p / "clean"))
+        assert (
+            D.minhash_lsh_pairs(clean, "doc_id", "text", threshold=0.5).count() == 0
+        )
