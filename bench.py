@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_cluster_keeper",
     "dedup_embedding_cosine",
     "sim_knn_cosine",
     "sim_knn_ivf",

@@ -102,8 +102,23 @@ def crawl(
         cand = (0.0, 0, 0)
         if cur is None or _better(cand, cur):
             res.frontier[c] = cand
+    crawl_rounds(res, corpus, seeds, robots, budgets, cfg, 0, cfg.rounds)
+    return res
 
-    for r in range(cfg.rounds):
+
+def crawl_rounds(
+    res: CrawlResult,
+    corpus: dict[str, tuple],
+    seeds: list[str],
+    robots: dict[str, str],
+    budgets: dict[str, int],
+    cfg: CrawlConfig,
+    r_start: int,
+    r_end: int,
+) -> CrawlResult:
+    """Advance an existing crawl state through rounds [r_start, r_end) —
+    the resume/maintenance entry point (driver.run_crawl's loop twin)."""
+    for r in range(r_start, r_end):
         # --- §2.1-7: host authority over the graph discovered so far -------
         ranks: dict[str, int] | None = None
         if cfg.host_rank_weight > 0 and r > 0 and res.host_edges:
@@ -169,6 +184,24 @@ def crawl(
             if cur is None or _better(cand, cur):
                 res.frontier[link] = cand
     return res
+
+
+def recrawl(
+    res: CrawlResult, victims: list[str], mnt_round: int, rescore: float = 0.0
+) -> None:
+    """Maintenance twin of ``driver.recrawl`` (§ recrawl commit): evict
+    *victims* from the seen set and re-enqueue them at *rescore*
+    (depth 0, discovered_round = the maintenance round), EXACTLY the
+    engine's semantics — victims already in the frontier keep their
+    existing entry (the engine anti-joins requeued rows against the
+    stored frontier).  The maintenance consumes round number
+    *mnt_round* with no ordering rows; continue with ``crawl_rounds``
+    from ``mnt_round + 1``."""
+    for u in victims:
+        c = spec.canon(u)
+        res.seen_hashes.discard(spec.xxh64(c))
+        if c not in res.frontier:
+            res.frontier[c] = (rescore, 0, mnt_round)
 
 
 def _better(a: tuple[float, int, int], b: tuple[float, int, int]) -> bool:

@@ -137,3 +137,59 @@ def test_recrawl_bloom_kind_rebuilds(spark, fixture_paths, tmp_path):
     )
     pos = vhdf.withColumn("m", probe(F.col("url_hash"))).filter(F.col("m")).count()
     assert pos <= 1  # 3 victims, FPR ~1e-2 ⇒ ≥2 hits is a real bug
+
+
+def test_recrawl_post_maintenance_round_exact_parity(
+    spark, fixture_paths, tmp_path
+):
+    """The round crawled AFTER a recrawl maintenance commit matches the
+    sequential oracle EXACTLY — ordering rows, seen set, and results —
+    with the oracle driven through the same crawl→recrawl→crawl
+    lifecycle (oracle.seqcrawler.crawl_rounds + recrawl)."""
+    import json
+
+    from storm_focused_crawler_spark.oracle import seqcrawler as sq
+
+    wd = str(tmp_path / "recrawl_parity")
+    shutil.rmtree(wd, ignore_errors=True)
+    cfg = _cfg()
+    store = drv.run_crawl(spark, fixture_paths, cfg, wd)
+    victims = _link_discovered_urls(spark, store, fixture_paths)
+    vdf = spark.createDataFrame([(u,) for u in victims], "url string")
+    mnt = drv.recrawl(spark, store, cfg, vdf, rescore=2.0)
+    store = drv.run_crawl(spark, fixture_paths, _cfg(rounds=ROUNDS + 2), wd)
+    nxt = mnt + 1
+
+    # oracle through the same lifecycle
+    pages, seeds, robots, budgets = sq.load_fixture_inputs(fixture_paths)
+    ocfg = sq.CrawlConfig(
+        rounds=ROUNDS, capacity=CAPACITY,
+        keywords=tuple(gen_pages.topic_keywords()),
+    )
+    corpus = sq.latest_captures(pages)
+    res = sq.crawl(pages, seeds, robots, budgets, ocfg)
+    sq.recrawl(res, victims, mnt_round=mnt, rescore=2.0)
+    sq.crawl_rounds(res, corpus, seeds, robots, budgets, ocfg, nxt, nxt + 1)
+
+    want_ordering = sorted(t for t in res.ordering if t[0] == nxt)
+    got_ordering = sorted(
+        (x["round"], x["seq"], x["url"])
+        for x in store.read(spark, nxt, "ordering").collect()
+    )
+    assert got_ordering == want_ordering
+
+    got_seen = {
+        x["url_hash"] for x in store.read_union(spark, nxt, "seen").collect()
+    }
+    assert got_seen == res.seen_hashes
+
+    want_results = {t[2]: (t[3], t[4], t[5], t[6]) for t in res.results if t[0] == nxt}
+    got_results = {
+        x["url"]: (x["score"], x["text"], x["lang"], x["n_links"])
+        for x in store.read(spark, nxt, "results").collect()
+    }
+    assert set(got_results) == set(want_results)
+    for url, vals in got_results.items():
+        assert vals[0] == want_results[url][0], f"score mismatch {url}"
+        assert vals[1].encode() == want_results[url][1].encode(), f"text {url}"
+        assert vals[2:] == want_results[url][2:]
