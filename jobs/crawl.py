@@ -61,6 +61,13 @@ def parse_args(argv=None):
     ap.add_argument("--scorer", choices=("keywords", "topic_nb"), default="keywords",
                     help="page relevance scorer: keyword overlap or trained NB posterior")
     ap.add_argument("--nb-target-topic", default="databases")
+    ap.add_argument("--recrawl", default=None, metavar="URLS_FILE",
+                    help="maintenance mode: instead of crawling, commit ONE "
+                         "recrawl round evicting the listed urls (JSON array "
+                         "or one-per-line text) from the seen state so the "
+                         "next crawl run fetches them again")
+    ap.add_argument("--recrawl-score", type=float, default=0.0,
+                    help="priority for the re-enqueued urls")
     return ap.parse_args(argv)
 
 
@@ -101,6 +108,25 @@ def main(argv=None) -> int:
                       scorer=args.scorer,
                       nb_target_topic=args.nb_target_topic)
     t0 = time.time()
+    if args.recrawl:
+        import os
+
+        from storm_focused_crawler_spark.driver import recrawl
+        from storm_focused_crawler_spark.sources.storage import ParquetSnapshotStore
+
+        with open(args.recrawl) as f:
+            body = f.read()
+        try:
+            victims = json.loads(body)
+        except json.JSONDecodeError:
+            victims = [ln.strip() for ln in body.splitlines() if ln.strip()]
+        store = ParquetSnapshotStore(os.path.join(args.workdir, "state"))
+        vdf = spark.createDataFrame([(u,) for u in victims], "url string")
+        mnt = recrawl(spark, store, cfg, vdf, rescore=args.recrawl_score)
+        print(json.dumps({"maintenance_round": mnt, "victims": len(victims),
+                          "wall_sec": round(time.time() - t0, 2)}))
+        spark.stop()
+        return 0
     store = run_crawl(spark, paths, cfg, args.workdir, resume=not args.no_resume)
     last = store.latest_round()
     totals = {"rounds_committed": (last or 0) + 1, "wall_sec": round(time.time() - t0, 2)}
