@@ -140,3 +140,30 @@ def test_live_crawl_generation_idempotent_when_drained(
     # exactly-once still holds over the whole run
     urls = [r["url"] for r in _results(spark, workdir).collect()]
     assert len(urls) == len(set(urls))
+
+
+def test_live_crawl_exactly_once_across_processes(fixture_paths, tmp_path):
+    """The exactly-once guarantee must survive a PROCESS restart (the
+    checkpoint claim, not just same-session state): two separate
+    driver processes each run one generation against the same workdir;
+    the second crawls only generation-1's discovered links, and no url
+    is ever fetched twice."""
+    import subprocess
+    import sys
+
+    wd = str(tmp_path / "xproc")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    outs = []
+    for _ in range(2):
+        r = subprocess.run(
+            [sys.executable, "/root/repo/jobs/live.py",
+             "--sf-dir", os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"),
+             "--workdir", wd, "--generations", "1",
+             "--budget-per-host", str(BUDGET), "--n-shards", str(N_SHARDS)],
+            capture_output=True, text=True, timeout=420, env=env, check=True,
+        )
+        outs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    # second process made progress (crawled the links the first found)
+    assert outs[1]["results_rows"] > outs[0]["results_rows"]
+    # and never refetched: rows stay distinct across both processes
+    assert outs[1]["results_rows"] == outs[1]["distinct_urls"]
