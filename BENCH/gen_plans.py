@@ -86,6 +86,22 @@ def main() -> None:
 
     ck_shards = CK.build_shards(hashes, 4, 1 << 10)
 
+    # one iteration of the connected-components loop, exactly as
+    # operators/dedup.cluster_keepers builds it (post-localCheckpoint
+    # inputs modeled by fresh leaf frames)
+    cc_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "u long, v long"
+    )
+    cc_lab = cc_edges.select("u").distinct().select("u", F.col("u").alias("lab"))
+    cc_nb = cc_edges.join(cc_lab.select(F.col("u").alias("v"), "lab"), "v").select("u", "lab")
+    cc_jump = cc_lab.join(
+        cc_lab.select(F.col("u").alias("lab"), F.col("lab").alias("lab2")), "lab"
+    ).select("u", F.col("lab2").alias("lab"))
+    cc_iter = (
+        cc_lab.unionByName(cc_nb).unionByName(cc_jump)
+        .groupBy("u").agg(F.min("lab").alias("lab"))
+    )
+
     rep_rules = spark.createDataFrame(
         [("h.ex", "/a", False), ("h.ex", "/a/b", True)], RB.RULES_SCHEMA
     )
@@ -136,6 +152,13 @@ def main() -> None:
          "Integer log-weight table broadcasts; one hash aggregate per "
          "(doc, topic) + argmax window — the same shape DuckDB verifies.",
          TN.classify(docs)),
+        ("Cluster-resolution iteration (dedup_cluster_keeper)",
+         "ONE round of min-label propagation + pointer jumping: two "
+         "shuffle hash joins + a hash aggregate over node-cardinality "
+         "tables, no broadcast of anything data-sized, no cross product.  "
+         "The loop localCheckpoints each round, so THIS is the whole plan "
+         "every iteration — plan depth does not grow with iteration count.",
+         cc_iter),
         ("Scan pruning (scan_pages)",
          "Projection reaches the parquet scan: ReadSchema carries only the "
          "selected columns.",
