@@ -433,13 +433,32 @@ def run_crawl(
             if pr_edges is not None:
                 pr_out = graph.pagerank(pr_edges, cfg.host_rank_iters)
                 host_ranks = pr_out.select(F.col("node").alias("host"), "rank_i")
+        compact_now = cfg.compact_every > 0 and (rnd + 1) % cfg.compact_every == 0
         out = run_round(
             spark, corpus, frontier, seen, robots, host_budget, cfg, rnd, seed_hashes,
             bloom_probe=probe,
-            compact=cfg.compact_every > 0 and (rnd + 1) % cfg.compact_every == 0,
+            compact=compact_now,
             url_expansions=url_expansions,
             host_ranks=host_ranks,
         )
+        if compact_now:
+            # compaction applies to EVERY append-only delta table, not
+            # just `seen`: a 1000-round crawl otherwise pays an
+            # unbounded multi-path fan-in on read_union('host_edges' /
+            # 'postings') each round.  <table>_full in this round's
+            # atomic commit + the manifest pointer = the same O(1)
+            # resolution the seen set gets.  The _full set must include
+            # THIS round's delta (read_union starts deltas at base+1).
+            for tbl in ("host_edges", "postings"):
+                if tbl not in out:
+                    continue
+                try:
+                    prior = store.read_union(spark, rnd - 1, tbl) if rnd > 0 else None
+                except FileNotFoundError:
+                    prior = None  # table joined the crawl this round
+                out[f"{tbl}_full"] = (
+                    out[tbl] if prior is None else prior.unionByName(out[tbl])
+                )
         if cfg.use_bloom:
             if have_prev_bloom:
                 # incremental: hash only this round's delta, OR into prev

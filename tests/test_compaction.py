@@ -48,3 +48,52 @@ def test_resume_across_compaction_boundary(spark, sf_dir, tmp_path):
     s = drv.run_crawl(spark, paths, _cfg(ROUNDS, 2), wd, resume=True)
     ref = drv.run_crawl(spark, paths, _cfg(ROUNDS, 0), str(tmp_path / "ref"))
     assert _state(spark, s, ROUNDS) == _state(spark, ref, ROUNDS)
+
+
+def test_delta_tables_compact_too(spark, sf_dir, tmp_path):
+    """host_edges and postings are append-only deltas like `seen`; a
+    compaction round must rewrite their full sets as well (otherwise a
+    long crawl's read_union fan-in grows without bound), and the
+    compacted read must equal the plain (uncompacted) union — content
+    AND multiplicity (pagerank counts multi-edges)."""
+    paths = gen_pages.ensure(sf_dir)
+
+    def cfg(compact_every):
+        return drv.CrawlConfig(
+            rounds=ROUNDS, capacity=32,
+            keywords=tuple(gen_pages.topic_keywords()),
+            compact_every=compact_every,
+            host_rank_weight=0.25, build_text_index=True,
+        )
+
+    s_plain = drv.run_crawl(spark, paths, cfg(0), str(tmp_path / "dplain"))
+    s_comp = drv.run_crawl(spark, paths, cfg(2), str(tmp_path / "dcomp"))
+
+    # compaction rounds carry the full tables + the manifest pointer
+    m3 = s_comp.manifest(3)
+    for tbl in ("seen", "host_edges", "postings"):
+        assert f"{tbl}_full" in m3["tables"], tbl
+        assert m3["compact"][tbl] == 3, tbl
+
+    def bag(store, table, cols):
+        rows = store.read_union(spark, ROUNDS - 1, table).select(*cols).collect()
+        return sorted(map(tuple, rows))
+
+    assert bag(s_comp, "host_edges", ["src", "dst"]) == bag(
+        s_plain, "host_edges", ["src", "dst"]
+    )
+    assert bag(s_comp, "postings", ["token", "doc", "tf"]) == bag(
+        s_plain, "postings", ["token", "doc", "tf"]
+    )
+    # and the compacted read actually resolves from the pointer: the
+    # full table alone already holds every pre-boundary row
+    full_only = {
+        tuple(r) for r in s_comp.read(spark, 3, "host_edges_full")
+        .select("src", "dst").collect()
+    }
+    pre = {
+        tuple(r)
+        for n in range(4)
+        for r in s_comp.read(spark, n, "host_edges").select("src", "dst").collect()
+    }
+    assert pre <= full_only
