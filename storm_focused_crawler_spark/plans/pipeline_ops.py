@@ -624,3 +624,23 @@ def filter_robots_rep(spark, sf_dir):
     u = _urls(spark, sf_dir)
     rules = spark.createDataFrame(_REP_RULES_ROWS, RB.RULES_SCHEMA)
     return rep_filter(u, rules, F.col("path")).select("url")
+
+
+@op(
+    "agg_heavy_hitters",
+    # with k (256) >= distinct hosts (120), space-saving is EXACT: the
+    # oracle is the exact top-64 host counts with zero error — the
+    # bounded-error regime (k < distinct) is pytest-locked instead
+    # (tests/test_sketches.py)
+    f"""WITH {URLS_CTE}
+    SELECT host AS key, count(*) AS count_hi, CAST(0 AS BIGINT) AS err
+    FROM urls GROUP BY host
+    ORDER BY count_hi DESC, key ASC LIMIT 64""",
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Hot-host detection via a bounded-memory space-saving sketch
+    (operators/sketches.heavy_hitters) — exact at fixture cardinality,
+    partitions×k summary rows on the shuffle at any scale."""
+    from storm_focused_crawler_spark.operators import sketches as SK
+
+    return SK.heavy_hitters(_urls(spark, sf_dir), "host", k=256, top=64)
