@@ -44,6 +44,7 @@ HEADLINE = [
     "topic_classify_nb",
     "text_index_postings",
     "graph_host_rank",
+    "agg_heavy_hitters",
     "filter_robots_rep",
     "bloom_build_merge",
     "cuckoo_build_merge",

@@ -16,20 +16,38 @@ but the INPUT volume dominates; with truly unbounded key cardinality
 (per-url keys) the exact groupBy's state explodes while this stays
 ``partitions × k``.
 
+Merge semantics (the mergeable-summaries rule, NOT a plain per-key
+sum): a key absent from partition p's summary may still have occurred
+in p — up to p's minimum counter value if p ever evicted (its mass
+would have been folded into survivors' overestimates), and exactly 0
+if p never evicted (then the summary holds every key p saw).  So each
+partition also emits ``pmin`` = (min counter value if it evicted, else
+0), and the merged figures are
+
+    count_hi(key) = Σ_present count_p  +  Σ_absent pmin_p
+    err(key)      = Σ_present err_p   +  Σ_absent pmin_p
+
+computed relationally as ``Σ present + (Σ all pmin − Σ present pmin)``
+— one extra tiny aggregate over the ≤ partitions summary mins.
+(ADVICE r03 #1: the previous per-key-sum merge lost an evicting
+partition's mass for keys it evicted, violating the documented
+``count_hi ≥ true`` upper bound.)
+
 Error contract (the testable truth, not a vibe):
   * every key with true count > N/k is in the output (no false
     dismissals above the guarantee threshold);
   * reported ``count_hi`` ≥ true count ≥ ``count_hi − err``; ``err``
     is reported per key, so a consumer can see exactly how soft each
     figure is;
-  * with k ≥ distinct(keys) the sketch is EXACT (err = 0, counts
-    equal groupBy counts) — which is what the DuckDB oracle pins at
-    fixture scale while the bounded-error property is pytest-locked
-    at k < distinct.
+  * with k ≥ distinct(keys) no partition ever evicts (pmin = 0
+    everywhere), the sketch is EXACT (err = 0, counts equal groupBy
+    counts) — which is what the DuckDB oracle pins at fixture scale
+    while the bounded-error property is pytest-locked at k < distinct.
 """
 
 from __future__ import annotations
 
+import heapq
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,27 +55,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _space_saving(values: Iterator[pd.Series], k: int) -> dict[str, list[int]]:
+def _space_saving(
+    values: Iterator[pd.Series], k: int
+) -> tuple[dict[str, list[int]], int]:
     """Classic space-saving over a stream of pandas chunks.
 
-    counters: key -> [count, err].  When full, the minimum counter is
-    evicted and its count becomes the newcomer's overestimation error.
+    Returns (counters, pmin): counters maps key -> [count, err]; pmin
+    is the summary's minimum counter value if any eviction happened,
+    else 0 (the absent-key mass bound the merge needs).
+
     Chunk-vectorized: within a chunk, value_counts() collapses
     repeats, so the python loop runs per DISTINCT key per chunk.
+    Eviction picks the minimum via a lazy heap of (count, key) —
+    stale entries (count no longer current) are popped and dropped —
+    so each eviction costs O(log k) amortized instead of the O(k)
+    min-scan (VERDICT r03 'What's wrong' #3).
     """
     counters: dict[str, list[int]] = {}
+    heap: list[tuple[int, str]] = []  # lazy min-heap over counts
+    evicted = False
     for chunk in values:
         for key, n in chunk.value_counts().items():
             n = int(n)
             if key in counters:
-                counters[key][0] += n
+                c = counters[key]
+                c[0] += n
+                heapq.heappush(heap, (c[0], key))
             elif len(counters) < k:
                 counters[key] = [n, 0]
+                heapq.heappush(heap, (n, key))
             else:
-                mkey = min(counters, key=lambda x: counters[x][0])
-                mcount = counters.pop(mkey)[0]
+                # pop stale heap entries until the top reflects a live
+                # (count, key) pair — counts only grow, so the first
+                # live entry is the true minimum
+                while True:
+                    mcount, mkey = heap[0]
+                    cur = counters.get(mkey)
+                    if cur is not None and cur[0] == mcount:
+                        break
+                    heapq.heappop(heap)
+                heapq.heappop(heap)
+                del counters[mkey]
                 counters[key] = [mcount + n, mcount]
-    return counters
+                heapq.heappush(heap, (mcount + n, key))
+                evicted = True
+    pmin = 0
+    if evicted and counters:
+        while True:  # live minimum after the final chunk
+            mcount, mkey = heap[0]
+            cur = counters.get(mkey)
+            if cur is not None and cur[0] == mcount:
+                pmin = mcount
+                break
+            heapq.heappop(heap)
+    return counters, pmin
 
 
 def heavy_hitters(
@@ -66,31 +117,53 @@ def heavy_hitters(
     """(key, count_hi, err) for the up-to-*top* heaviest keys.
 
     Phase 1: per-partition space-saving summaries (mapInPandas, ≤ k
-    rows out per partition).  Phase 2: merge = per-key SUM of counts
-    and errs over the summary rows (the mergeable-summaries result:
-    summed upper bounds stay upper bounds, summed errs stay valid
-    error bounds, and any key above the global guarantee threshold
-    survives because it is above it in at least one partition), then
-    keep the *top* largest upper bounds.
+    rows + one pmin out per partition).  Phase 2: the
+    mergeable-summaries merge (module docstring): per-key sums over
+    the summary rows plus each absent-evicting-partition's pmin, then
+    keep the *top* largest upper bounds.  Any key above the global
+    guarantee threshold survives because it is above it in at least
+    one partition.
     """
     top = top if top is not None else k
 
     def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters = _space_saving((pdf[key_col] for pdf in it), k)
+        from pyspark import TaskContext
+
+        counters, pmin = _space_saving((pdf[key_col] for pdf in it), k)
         if counters:
+            pid = TaskContext.get().partitionId()
             yield pd.DataFrame(
                 {
+                    "pid": pid,
                     "key": list(counters),
                     "count_hi": [v[0] for v in counters.values()],
                     "err": [v[1] for v in counters.values()],
+                    "pmin": pmin,
                 }
             )
 
     partial = df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
-        summarize, "key string, count_hi long, err long"
+        summarize, "pid int, key string, count_hi long, err long, pmin long"
     )
-    merged = partial.groupBy("key").agg(
-        F.sum("count_hi").alias("count_hi"), F.sum("err").alias("err")
+    # Σ pmin over partitions (each partition's rows carry one pmin value)
+    total = (
+        partial.select("pid", "pmin")
+        .distinct()
+        .agg(F.coalesce(F.sum("pmin"), F.lit(0)).alias("total_pmin"))
+    )
+    merged = (
+        partial.groupBy("key")
+        .agg(
+            F.sum("count_hi").alias("c"),
+            F.sum("err").alias("e"),
+            F.sum("pmin").alias("present_pmin"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            (F.col("c") + F.col("total_pmin") - F.col("present_pmin")).alias("count_hi"),
+            (F.col("e") + F.col("total_pmin") - F.col("present_pmin")).alias("err"),
+        )
     )
     return (
         merged.orderBy(F.col("count_hi").desc(), F.col("key").asc())
