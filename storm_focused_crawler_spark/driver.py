@@ -529,9 +529,11 @@ def recrawl(
     victims: DataFrame,
     rescore: float = 0.0,
 ) -> int:
-    """Evict *victims* (df with canonical ``url``) from the URL-seen
-    state and re-enqueue them, so subsequent rounds fetch them again —
-    the refresh/recrawl policy of a long-running crawl.
+    """Evict *victims* (df with a ``url`` column — canonicalized HERE,
+    so CLI/user input in any equivalent spelling evicts the right hash;
+    ADVICE r03 #2) from the URL-seen state and re-enqueue them, so
+    subsequent rounds fetch them again — the refresh/recrawl policy of
+    a long-running crawl.
 
     Commits ONE maintenance round (``latest_round()+1``) through the
     normal atomic snapshot protocol — no in-place mutation, a kill
@@ -559,9 +561,15 @@ def recrawl(
     last = store.latest_round()
     if last is None:
         raise ValueError("recrawl needs at least one committed round")
-    v = victims.select(
-        "url", F.xxhash64("url").alias("url_hash")
-    ).dropDuplicates(["url_hash"])
+    # canonicalize FIRST (oracle twin: seqcrawler.recrawl's spec.canon):
+    # hashing a non-canonical spelling would silently miss the stored
+    # seen hash AND enqueue a non-canonical url into the frontier,
+    # breaking the frontier's canonical-url invariant
+    v = (
+        victims.select(canonicalize_udf(F.col("url")).alias("url"))
+        .withColumn("url_hash", F.xxhash64("url"))
+        .dropDuplicates(["url_hash"])
+    )
 
     seen_now = store.read_union(spark, last, "seen").select("url_hash")
     seen_full = seen_now.join(v.select("url_hash"), "url_hash", "left_anti")

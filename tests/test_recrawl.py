@@ -109,6 +109,45 @@ def test_recrawl_refetches_victims_cuckoo(spark, fixture_paths, tmp_path):
     assert vhashes <= seen_final
 
 
+def test_recrawl_canonicalizes_victims(spark, fixture_paths, tmp_path):
+    """ADVICE r03 #2 regression: victims arriving in a NON-canonical
+    spelling (uppercase scheme/host, explicit default port) must still
+    evict the canonical url's hash and enqueue the CANONICAL url —
+    driver.recrawl canonicalizes before hashing, exactly like the
+    oracle twin (seqcrawler.recrawl applies spec.canon)."""
+    wd = str(tmp_path / "recrawl_canon")
+    shutil.rmtree(wd, ignore_errors=True)
+    cfg = _cfg()
+    store = drv.run_crawl(spark, fixture_paths, cfg, wd)
+    victims = _link_discovered_urls(spark, store, fixture_paths)
+    for u in victims:  # fixture urls are canonical already
+        assert spec.canon(u) == u
+
+    def mangle(u):
+        scheme, rest = u.split("://", 1)
+        host, slash, path = rest.partition("/")
+        port = {"http": ":80", "https": ":443"}.get(scheme, "")
+        return f"{scheme.upper()}://{host.upper()}{port}{slash}{path}"
+
+    mangled = [mangle(u) for u in victims]
+    assert mangled != victims and [spec.canon(m) for m in mangled] == victims
+
+    vhashes = {spec.xxh64(u) for u in victims}
+    seen_before = {
+        r["url_hash"] for r in store.read_union(spark, ROUNDS - 1, "seen").collect()
+    }
+    vdf = spark.createDataFrame([(u,) for u in mangled], "url string")
+    mnt = drv.recrawl(spark, store, cfg, vdf, rescore=2.0)
+    seen_after = {
+        r["url_hash"] for r in store.read_union(spark, mnt, "seen").collect()
+    }
+    assert seen_after == seen_before - vhashes  # the CANONICAL hashes left
+    # and the frontier got the canonical spellings, preserving its invariant
+    fr = {r["url"] for r in store.read(spark, mnt, "frontier").collect()}
+    assert set(victims) <= fr
+    assert not (set(mangled) & fr)
+
+
 def test_recrawl_bloom_kind_rebuilds(spark, fixture_paths, tmp_path):
     """Same maintenance flow with the Bloom sidecar: deletion is
     impossible, so recrawl rebuilds the filter from the new seen set —
