@@ -121,6 +121,21 @@ def _insert(
             cur, fp = cur[~dup], fp[~dup]
             if len(cur) == 0:
                 break
+            alt = alt[~dup]
+        # dedup PENDING pairs against each other (ADVICE r03 #4): two
+        # pending items with the same fingerprint and the same
+        # {bucket, alt-bucket} orbit are one set entry — placing both
+        # in the same pass would store two copies that a later
+        # delete_from_shards (one-removal-per-entry) cannot fully
+        # evict.  Canonical key = (min(bucket, alt), fp); keep the
+        # first occurrence, deterministic.
+        canon = (np.minimum(cur, alt).astype(np.uint64) << np.uint64(16)) | fp.astype(
+            np.uint64
+        )
+        _, uidx = np.unique(canon, return_index=True)
+        if len(uidx) < len(cur):
+            keep = np.sort(uidx)
+            cur, fp = cur[keep], fp[keep]
         placed = np.zeros(len(cur), dtype=bool)
         for s in range(SLOTS):
             free = (table[cur, s] == 0) & ~placed

@@ -172,3 +172,39 @@ def test_insert_is_set_semantic_and_deterministic(spark, hashes):
     b = {r["shard"]: (r["table"], r["stash"])
          for r in C.build_shards(_hdf(spark, hashes[:500]), N_SHARDS, N_BUCKETS).collect()}
     assert a == b
+
+
+def test_insert_dedups_pending_same_orbit_pairs():
+    """ADVICE r03 #4 regression: two pending items with the same
+    fingerprint and the same {bucket, alt} orbit must store ONE copy —
+    pre-fix both could land in different free slots of the same pass,
+    and delete_from_shards (one removal per entry) would leave a copy
+    behind, keeping the victim probing positive after deletion."""
+    import numpy as np
+
+    from storm_focused_crawler_spark.operators import cuckoo as C
+
+    n_buckets = 64
+    # same (bucket, fp) twice in one batch
+    table = np.zeros((n_buckets, C.SLOTS), dtype=np.uint16)
+    stash = C._insert(table, np.array([5, 5]), np.array([7, 7], dtype=np.uint16), n_buckets)
+    assert not stash
+    assert int((table == 7).sum()) == 1
+    # same orbit via the alternate bucket: (b, fp) and (alt(b, fp), fp)
+    table2 = np.zeros((n_buckets, C.SLOTS), dtype=np.uint16)
+    b = np.array([5], dtype=np.int64)
+    fp = np.array([7], dtype=np.uint16)
+    alt = int(C._alt_bucket(b, fp, n_buckets)[0])
+    stash2 = C._insert(
+        table2, np.array([5, alt]), np.array([7, 7], dtype=np.uint16), n_buckets
+    )
+    assert not stash2
+    assert int((table2 == 7).sum()) == 1
+    # a single delete now fully evicts the entry
+    removed = np.zeros(1, dtype=bool)
+    for cand in (np.array([5]), np.array([alt])):
+        for s in range(C.SLOTS):
+            m = (~removed) & (table2[cand, s] == fp)
+            table2[cand[m], s] = 0
+            removed |= m
+    assert int((table2 == 7).sum()) == 0
