@@ -234,6 +234,77 @@ def seen_filter_stream(urls: DataFrame, n_shards: int = N_SHARDS_DEFAULT) -> Dat
 FRONTIER_IN_SCHEMA = T.StructType([T.StructField("url", T.StringType())])
 
 
+def make_fetch_batch(corpus: DataFrame, keywords: list[str],
+                     results_dir: str, frontier_dir: str):
+    """The foreachBatch body of the continuous crawl's Q2, as a
+    module-level factory so tests can REPLAY a batch (the crash-between-
+    sink-and-checkpoint case) and assert idempotency.
+
+    Exactly-once story (ADVICE r03 #3): foreachBatch re-runs a batch if
+    the process dies after the sink writes but before the checkpoint
+    commit.  Two sinks, two mechanisms:
+
+      * results/ — partitioned by batch_id with DYNAMIC partition
+        overwrite, so a replay overwrites its own partition instead of
+        appending duplicate rows: idempotent, hence exactly-once.
+      * frontier_dir feedback — plain append; a replay duplicates a
+        link FILE, but Q1's stateful seen filter emits each url's
+        first occurrence only, so duplicates cost bytes, never a
+        second crawl of any url.
+    """
+
+    from storm_focused_crawler_spark.functions.udfs import (
+        canonicalize_udf,
+        extract_links_col,
+        extract_text_col,
+        score_col,
+    )
+
+    def fetch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        admitted = batch_df.select("url")
+        fetched = corpus.join(F.broadcast(admitted), "url", "inner")
+        w_asof = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+        latest = (
+            fetched.withColumn("_rn", F.row_number().over(w_asof))
+            .filter(F.col("_rn") == 1)
+        )
+        ex = (
+            latest.withColumn("text_x", extract_text_col(F.col("html")))
+            .withColumn("links_raw", extract_links_col(F.col("html")))
+            .drop("html")  # html never crosses a shuffle (SURVEY §7.4-4)
+            .withColumn("score", score_col(F.col("text_x"), list(keywords)))
+            .persist()
+        )
+        (
+            ex.select(
+                F.lit(batch_id).alias("batch_id"),
+                "url",
+                "score",
+                F.col("text_x").alias("text"),
+                "lang",
+                F.size("links_raw").alias("n_links"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(results_dir)
+        )
+        links = (
+            ex.select(F.explode("links_raw").alias("link_raw"))
+            .withColumn("url", canonicalize_udf(F.col("link_raw")))
+            .select("url")
+            .distinct()
+        )
+        # feedback edge: discovered links become the next generation's
+        # frontier input (Q1's checkpointed source picks up new files)
+        links.write.mode("append").parquet(frontier_dir)
+        ex.unpersist()
+
+    return fetch_batch
+
+
 def _frontier_stream(spark: SparkSession, frontier_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(FRONTIER_IN_SCHEMA)
@@ -287,15 +358,9 @@ def live_crawl_generation(
     """
     import os
 
-    from storm_focused_crawler_spark.functions.udfs import (
-        canonicalize_udf,
-        extract_links_col,
-        extract_text_col,
-        score_col,
-    )
-
     unseen_dir = os.path.join(workdir, "unseen")
     results_dir = os.path.join(workdir, "results")
+    fetch_batch = make_fetch_batch(corpus, keywords, results_dir, frontier_dir)
 
     q1 = (
         seen_filter_stream(_frontier_stream(spark, frontier_dir), n_shards)
@@ -306,47 +371,6 @@ def live_crawl_generation(
         .start()
     )
     q1.awaitTermination()
-
-    def fetch_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
-        spark_b = batch_df.sparkSession
-        admitted = batch_df.select("url")
-        fetched = corpus.join(F.broadcast(admitted), "url", "inner")
-        w_asof = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
-        latest = (
-            fetched.withColumn("_rn", F.row_number().over(w_asof))
-            .filter(F.col("_rn") == 1)
-        )
-        ex = (
-            latest.withColumn("text_x", extract_text_col(F.col("html")))
-            .withColumn("links_raw", extract_links_col(F.col("html")))
-            .drop("html")  # html never crosses a shuffle (SURVEY §7.4-4)
-            .withColumn("score", score_col(F.col("text_x"), list(keywords)))
-            .persist()
-        )
-        (
-            ex.select(
-                F.lit(batch_id).alias("batch_id"),
-                "url",
-                "score",
-                F.col("text_x").alias("text"),
-                "lang",
-                F.size("links_raw").alias("n_links"),
-            )
-            .write.mode("append")
-            .parquet(results_dir)
-        )
-        links = (
-            ex.select(F.explode("links_raw").alias("link_raw"))
-            .withColumn("url", canonicalize_udf(F.col("link_raw")))
-            .select("url")
-            .distinct()
-        )
-        # feedback edge: discovered links become the next generation's
-        # frontier input (Q1's checkpointed source picks up new files)
-        links.write.mode("append").parquet(frontier_dir)
-        ex.unpersist()
 
     unseen = (
         spark.readStream.schema(

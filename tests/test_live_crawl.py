@@ -167,3 +167,39 @@ def test_live_crawl_exactly_once_across_processes(fixture_paths, tmp_path):
     assert outs[1]["results_rows"] > outs[0]["results_rows"]
     # and never refetched: rows stay distinct across both processes
     assert outs[1]["results_rows"] == outs[1]["distinct_urls"]
+
+
+def test_fetch_batch_replay_is_idempotent(spark, fixture_paths, tmp_path):
+    """ADVICE r03 #3 regression: foreachBatch replays a batch when the
+    process dies between the sink write and the checkpoint commit.
+    Replaying the SAME (batch_df, batch_id) must leave the results
+    table unchanged (dynamic partition overwrite of its own batch_id
+    partition), and the duplicated link file must not produce a second
+    crawl (Q1's seen filter dedups) — asserted here on the results
+    rows, the real exactly-once surface."""
+    corpus = spark.read.parquet(fixture_paths["pages"])
+    frontier_dir = str(tmp_path / "replay_frontier")
+    results_dir = str(tmp_path / "replay_results")
+    os.makedirs(frontier_dir, exist_ok=True)
+    with open(fixture_paths["seeds"]) as f:
+        seeds = sorted({spec.canon(u) for u in json.load(f)})[:6]
+    kw = list(gen_pages.topic_keywords())
+    fetch_batch = live.make_fetch_batch(corpus, kw, results_dir, frontier_dir)
+    batch_df = spark.createDataFrame([(u,) for u in seeds], "url string")
+
+    fetch_batch(batch_df, 7)
+    once = sorted(
+        (r["batch_id"], r["url"], r["text"])
+        for r in spark.read.parquet(results_dir).collect()
+    )
+    assert once
+    fetch_batch(batch_df, 7)  # the replay
+    twice = sorted(
+        (r["batch_id"], r["url"], r["text"])
+        for r in spark.read.parquet(results_dir).collect()
+    )
+    assert twice == once  # no duplicate rows, same content
+    # a replay of a DIFFERENT batch id appends, not overwrites
+    fetch_batch(batch_df.limit(2), 8)
+    n = spark.read.parquet(results_dir).count()
+    assert n == len(once) + 2
