@@ -61,6 +61,9 @@ def parse_args(argv=None):
     ap.add_argument("--scorer", choices=("keywords", "topic_nb"), default="keywords",
                     help="page relevance scorer: keyword overlap or trained NB posterior")
     ap.add_argument("--nb-target-topic", default="databases")
+    ap.add_argument("--user-agent", default="focused-crawler",
+                    help="product token for RFC 9309 robots group selection "
+                         "(used when --robots points at raw (host, content) bodies)")
     ap.add_argument("--recrawl", default=None, metavar="URLS_FILE",
                     help="maintenance mode: instead of crawling, commit ONE "
                          "recrawl round evicting the listed urls (JSON array "
@@ -106,7 +109,8 @@ def main(argv=None) -> int:
                       host_rank_weight=args.host_rank_weight,
                       host_rank_iters=args.host_rank_iters,
                       scorer=args.scorer,
-                      nb_target_topic=args.nb_target_topic)
+                      nb_target_topic=args.nb_target_topic,
+                      user_agent=args.user_agent)
     t0 = time.time()
     if args.recrawl:
         import os

@@ -93,6 +93,10 @@ class CrawlConfig:
     # function shared with the oracle, so parity stays byte-exact)
     scorer: str = "keywords"
     nb_target_topic: str = "databases"
+    # product token for RFC 9309 robots group selection — used only when
+    # the robots fixture carries raw robots.txt bodies (host, content);
+    # pre-parsed rule tables bypass group selection entirely
+    user_agent: str = "focused-crawler"
 
 
 # --------------------------------------------------------------------------
@@ -356,6 +360,13 @@ def run_crawl(
     corpus_path = prepare_corpus(spark, fixture_paths["pages"], workdir, cfg.url_buckets)
     corpus = spark.read.parquet(corpus_path)
     robots = spark.read.parquet(fixture_paths["robots"])
+    if "content" in robots.columns:
+        # raw robots.txt bodies: RFC 9309 §2.2.1 user-agent group
+        # selection happens HERE, once per crawl (robots is dim-sized);
+        # the oracle twin parses with robots.parse_robots_py in lockstep
+        from storm_focused_crawler_spark.operators.robots import parse_robots
+
+        robots = parse_robots(robots, cfg.user_agent)
     host_budget = spark.read.parquet(fixture_paths["host_budget"])
     if cfg.max_budget is None:
         # never mutate the caller's cfg: a reused CrawlConfig against a

@@ -18,10 +18,136 @@ REP) are dropped at parse time; parsers must not emit them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import re
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 RULES_SCHEMA = "host string, prefix string, allow boolean"
+
+# RFC 9309 line grammar (shared by the relational parser, the python
+# twin, and the DuckDB oracle — all three run the SAME regexes):
+#   * a user-agent line carries one non-empty product token;
+#   * a rule line is allow/disallow with an optional (possibly empty)
+#     value — an empty-value rule still closes a user-agent run (it IS
+#     a rule in the ABNF) but is dropped from the output because the
+#     evaluator treats no-match as allowed (empty prefix = allow-all);
+#   * every other line (blank, comment, unknown directive) is
+#     unparseable per §2.2.3 and ignored ENTIRELY — it neither joins
+#     nor breaks a user-agent run.
+_UA_PAT = r"(?i)^user-agent:\s*(\S+)\s*$"
+_RULE_PAT = r"(?i)^(allow|disallow):\s*(\S*)"
+_UA_RE = re.compile(_UA_PAT)
+_RULE_RE = re.compile(_RULE_PAT)
+DEFAULT_AGENT = "focused-crawler"
+
+
+def parse_robots_py(content: str, agent: str = DEFAULT_AGENT) -> list[tuple[str, bool]]:
+    """Python twin of :func:`parse_robots` for ONE robots.txt body —
+    the sequential oracle's parser (oracle/seqcrawler.py), kept in
+    lockstep with the relational plan by tests/test_robots_groups.py.
+
+    RFC 9309 §2.2.1 group selection: groups are maximal runs of
+    consecutive user-agent lines (after dropping unparseable lines)
+    plus the rules that follow them; ALL groups naming our exact
+    product token (case-insensitive) are merged; if none does, all
+    ``*`` groups are merged; rules before any user-agent line are
+    ignored.  Returns [(prefix, allow)] for the selected groups.
+    """
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    prev_ua = False
+    for raw in content.split("\n"):
+        m = _UA_RE.match(raw)
+        if m:
+            if not prev_ua:
+                groups.append(([], []))
+            groups[-1][0].append(m.group(1).lower())
+            prev_ua = True
+            continue
+        m = _RULE_RE.match(raw)
+        if m:
+            prev_ua = False
+            if groups and m.group(2):
+                groups[-1][1].append((m.group(2), m.group(1).lower() == "allow"))
+        # unparseable lines: ignored entirely (prev_ua unchanged)
+    has_exact = any(agent in agents for agents, _ in groups)
+    want = agent if has_exact else "*"
+    out: list[tuple[str, bool]] = []
+    for agents, rules in groups:
+        if want in agents:
+            out.extend(rules)
+    return out
+
+
+def parse_robots(df: DataFrame, agent: str = DEFAULT_AGENT,
+                 host_col: str = "host", content_col: str = "content") -> DataFrame:
+    """(host, content) robots.txt bodies → (host, prefix, allow) rules
+    for the RFC 9309 §2.2.1-selected user-agent group(s).
+
+    Relational, no python UDFs: posexplode lines, regex-classify,
+    lag/window to assign each rule to the maximal user-agent run
+    preceding it, then pick per host the runs naming our exact product
+    token (case-insensitive) — or the ``*`` runs if none does — and
+    emit their non-empty rules for the longest-match evaluator
+    (:func:`rep_filter`).  Robots tables are dim-sized (one body per
+    host), so the per-host line windows are trivially small; nothing
+    here touches frontier-scale data.
+    """
+    agent = agent.lower()
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(content_col, "\n")).alias("idx", "line"),
+    )
+    is_ua = F.col("line").rlike(_UA_PAT)
+    is_rule = F.col("line").rlike(r"(?i)^(allow|disallow):")
+    kept = lines.select("host", "idx", "line", is_ua.alias("is_ua")).filter(
+        is_ua | is_rule
+    )
+    w = Window.partitionBy("host").orderBy("idx")
+    runid = (
+        kept.withColumn(
+            "grp_start",
+            F.when(
+                F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+                F.col("idx"),
+            ),
+        )
+        .withColumn(
+            "run_id",
+            F.max("grp_start").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("run_id").isNotNull())  # rules before any UA line
+    )
+    agents = runid.filter("is_ua").select(
+        "host",
+        "run_id",
+        F.lower(F.regexp_extract("line", _UA_PAT, 1)).alias("token"),
+    )
+    rules = runid.filter(~F.col("is_ua")).select(
+        "host",
+        "run_id",
+        F.regexp_extract("line", r"(?i)^(?:allow|disallow):\s*(\S*)", 1).alias("prefix"),
+        F.col("line").rlike(r"(?i)^allow:").alias("allow"),
+    )
+    per_run = agents.groupBy("host", "run_id").agg(
+        F.max(F.col("token") == agent).alias("run_exact"),
+        F.max(F.col("token") == "*").alias("run_star"),
+    )
+    sel = per_run.withColumn(
+        "any_exact", F.max("run_exact").over(Window.partitionBy("host"))
+    )
+    chosen = sel.filter(
+        (F.col("any_exact") & F.col("run_exact"))
+        | (~F.col("any_exact") & F.col("run_star"))
+    ).select("host", "run_id")
+    return (
+        rules.join(chosen, ["host", "run_id"])
+        .filter(F.length("prefix") >= 1)
+        .select("host", "prefix", "allow")
+    )
 
 
 def rules_by_host(rules: DataFrame) -> DataFrame:

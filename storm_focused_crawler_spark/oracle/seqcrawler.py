@@ -209,8 +209,13 @@ def _better(a: tuple[float, int, int], b: tuple[float, int, int]) -> bool:
     return (-a[0], a[1], a[2]) < (-b[0], b[1], b[2])
 
 
-def load_fixture_inputs(fix_paths: dict[str, str]):
-    """Read fixture tables into plain-python structures."""
+def load_fixture_inputs(fix_paths: dict[str, str], user_agent: str = "focused-crawler"):
+    """Read fixture tables into plain-python structures.
+
+    *user_agent* applies only when the robots table carries raw
+    robots.txt bodies (host, content): RFC 9309 group selection runs
+    through robots.parse_robots_py — the exact twin of the engine's
+    relational parse in driver.run_crawl."""
     import json
 
     import pyarrow.parquet as pq
@@ -230,7 +235,12 @@ def load_fixture_inputs(fix_paths: dict[str, str]):
     rb = pq.read_table(fix_paths["robots"])
     robots: dict[str, list[tuple[str, bool]]] = {}
     hosts = rb.column("host").to_pylist()
-    if "allow" in rb.column_names:  # full REP rule table
+    if "content" in rb.column_names:  # raw robots.txt bodies
+        from storm_focused_crawler_spark.operators.robots import parse_robots_py
+
+        for h, c in zip(hosts, rb.column("content").to_pylist()):
+            robots[h] = parse_robots_py(c, user_agent)
+    elif "allow" in rb.column_names:  # full REP rule table
         for h, p, a in zip(hosts, rb.column("prefix").to_pylist(),
                            rb.column("allow").to_pylist()):
             robots.setdefault(h, []).append((p, bool(a)))

@@ -511,50 +511,94 @@ def extract_media(spark, sf_dir):
 
 @op(
     "parse_robots_txt",
-    """WITH r AS (SELECT doc_id % 7 AS robot_id,
-        'User-agent: *' || chr(10) || '# crawl policy' || chr(10) ||
+    # group-aware parse (RFC 9309 §2.2.1): each synthetic robots.txt
+    # body carries a decoy OtherBot group (Disallow: /), a stray rule
+    # before any user-agent line (ignored), and the real group — named
+    # 'Focused-Crawler' + 'miscbot' on even robot ids, '*' on odd ones.
+    # The oracle runs the SAME run-assignment + group-selection logic
+    # in SQL window functions; only the real group's 3 rules survive.
+    r"""WITH r AS (SELECT doc_id % 7 AS robot_id,
+        'Disallow: /stray' || chr(10) ||
+        'User-agent: OtherBot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+        CASE WHEN (doc_id % 7) % 2 = 0
+             THEN 'User-agent: Focused-Crawler' || chr(10) || 'User-agent: miscbot'
+             ELSE 'User-agent: *' END || chr(10) ||
         'Disallow: /private' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
         'Allow: /public' || chr(10) ||
-        'Disallow: /tmp' || CAST(doc_id % 3 AS VARCHAR) AS content
+        'disallow:/tmp' || CAST((doc_id % 7) % 3 AS VARCHAR) AS content
       FROM documents),
     d AS (SELECT DISTINCT robot_id, content FROM r),
-    lines AS (SELECT robot_id, unnest(string_split(content, chr(10))) AS line FROM d),
+    lines AS (
+      SELECT robot_id, unnest(list_transform(string_split(content, chr(10)),
+           (x, i) -> struct_pack(idx := i, line := x))) AS u
+      FROM d),
+    l2 AS (SELECT robot_id, u.idx AS idx, u.line AS line FROM lines),
+    cls AS (
+      SELECT robot_id, idx, line,
+             regexp_matches(line, '(?i)^user-agent:\s*\S+\s*$') AS is_ua,
+             regexp_matches(line, '(?i)^(allow|disallow):') AS is_rule
+      FROM l2),
+    kept AS (SELECT * FROM cls WHERE is_ua OR is_rule),
+    runs AS (
+      SELECT *, CASE WHEN is_ua AND NOT coalesce(
+                 lag(is_ua) OVER (PARTITION BY robot_id ORDER BY idx), FALSE)
+               THEN idx END AS grp_start
+      FROM kept),
+    runid AS (
+      SELECT *, max(grp_start) OVER (PARTITION BY robot_id ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM runs),
+    agents AS (
+      SELECT robot_id, run_id,
+             lower(regexp_extract(line, '(?i)^user-agent:\s*(\S+)\s*$', 1)) AS token
+      FROM runid WHERE is_ua AND run_id IS NOT NULL),
     rules AS (
-      SELECT robot_id,
-             CASE WHEN starts_with(line, 'Allow: ') THEN substr(line, 8)
-                  ELSE substr(line, 11) END AS prefix,
-             CASE WHEN starts_with(line, 'Allow: ') THEN 1 ELSE 0 END AS allow
-      FROM lines
-      WHERE starts_with(line, 'Disallow: ') OR starts_with(line, 'Allow: '))
-    SELECT robot_id, prefix, allow FROM rules WHERE len(prefix) >= 1""",
+      SELECT robot_id, run_id,
+             regexp_extract(line, '(?i)^(?:allow|disallow):\s*(\S*)', 1) AS prefix,
+             CASE WHEN regexp_matches(line, '(?i)^allow:') THEN 1 ELSE 0 END AS allow
+      FROM runid WHERE is_rule AND NOT is_ua AND run_id IS NOT NULL),
+    per_run AS (
+      SELECT robot_id, run_id,
+             max(CASE WHEN token = 'focused-crawler' THEN 1 ELSE 0 END) AS run_exact,
+             max(CASE WHEN token = '*' THEN 1 ELSE 0 END) AS run_star
+      FROM agents GROUP BY 1, 2),
+    sel AS (SELECT *, max(run_exact) OVER (PARTITION BY robot_id) AS any_exact
+            FROM per_run),
+    chosen AS (SELECT robot_id, run_id FROM sel
+               WHERE (any_exact = 1 AND run_exact = 1)
+                  OR (any_exact = 0 AND run_star = 1))
+    SELECT r.robot_id, r.prefix, r.allow
+    FROM rules r JOIN chosen c USING (robot_id, run_id)
+    WHERE len(r.prefix) >= 1""",
 )
 def parse_robots_txt(spark, sf_dir):
-    """robots.txt parsing (the reference's fetcher parsed robots rules
-    [B:6 'robots.txt rules']): split lines, keep Allow AND Disallow
-    directives as (prefix, allow) rules for the longest-match REP
-    evaluator (operators/robots.py) — all codegen string ops.  Empty
-    prefixes ('Disallow:' alone = allow-all in REP) are dropped here so
-    the evaluator never sees them."""
+    """robots.txt parsing with RFC 9309 §2.2.1 user-agent group
+    selection (operators/robots.parse_robots — VERDICT r03 'Next
+    round' #2): lines are regex-classified, each rule is assigned to
+    the maximal run of user-agent lines preceding it, and only the
+    most specific matching group(s) — exact product token, else ``*``
+    — feed the longest-match REP evaluator.  Decoy groups, stray
+    pre-group rules, mixed-case and no-space directives are all
+    exercised; empty prefixes are dropped (allow-all in REP)."""
     d = _t(spark, sf_dir, "documents")
     rid = (F.col("doc_id") % 7).alias("robot_id")
     content = F.concat(
-        F.lit("User-agent: *\n# crawl policy\nDisallow: /private"),
+        F.lit("Disallow: /stray\nUser-agent: OtherBot\nDisallow: /\n\n"),
+        F.when(
+            (F.col("doc_id") % 7) % 2 == 0,
+            F.lit("User-agent: Focused-Crawler\nUser-agent: miscbot"),
+        ).otherwise(F.lit("User-agent: *")),
+        F.lit("\nDisallow: /private"),
         (F.col("doc_id") % 7).cast("string"),
-        F.lit("\nAllow: /public\nDisallow: /tmp"),
-        (F.col("doc_id") % 3).cast("string"),
+        F.lit("\nAllow: /public\ndisallow:/tmp"),
+        ((F.col("doc_id") % 7) % 3).cast("string"),
     )
     r = d.select(rid, content.alias("content")).distinct()
-    lines = r.select("robot_id", F.explode(F.split("content", "\n")).alias("line"))
-    is_allow = F.startswith("line", F.lit("Allow: "))
-    is_dis = F.startswith("line", F.lit("Disallow: "))
-    rules = lines.filter(is_allow | is_dis).select(
-        "robot_id",
-        F.when(is_allow, F.expr("substring(line, 8)"))
-        .otherwise(F.expr("substring(line, 11)"))
-        .alias("prefix"),
-        F.when(is_allow, F.lit(1)).otherwise(F.lit(0)).alias("allow"),
+    parsed = RB.parse_robots(r, "focused-crawler", host_col="robot_id")
+    return parsed.select(
+        F.col("host").alias("robot_id"),
+        "prefix",
+        F.col("allow").cast("int").alias("allow"),
     )
-    return rules.filter(F.length("prefix") >= 1)
 
 
 # host → REP rules exercising every precedence branch over the derived

@@ -1,0 +1,197 @@
+"""RFC 9309 §2.2.1 user-agent group selection (VERDICT r03 'Next
+round' #2): golden precedence cases on the python twin, lockstep of
+the relational parse (operators/robots.parse_robots) with the twin,
+and end-to-end crawl parity when the robots fixture carries raw
+robots.txt bodies instead of pre-parsed rules."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from storm_focused_crawler_spark.operators.robots import parse_robots, parse_robots_py
+
+# (name, content, agent, expected [(prefix, allow)]) — written against
+# RFC 9309 §2.2.1 (group selection) and §2.2.2 (rule parsing)
+GOLDEN = [
+    (
+        "exact_beats_star",
+        "User-agent: *\nDisallow: /star\n\n"
+        "User-agent: focused-crawler\nDisallow: /mine\nAllow: /mine/pub",
+        "focused-crawler",
+        [("/mine", False), ("/mine/pub", True)],
+    ),
+    (
+        "star_fallback_when_no_exact",
+        "User-agent: otherbot\nDisallow: /other\n\n"
+        "User-agent: *\nDisallow: /star",
+        "focused-crawler",
+        [("/star", False)],
+    ),
+    (
+        "groups_with_same_token_merge",
+        "User-agent: focused-crawler\nDisallow: /a\n\n"
+        "User-agent: focused-crawler\nDisallow: /b",
+        "focused-crawler",
+        [("/a", False), ("/b", False)],
+    ),
+    (
+        "multi_ua_run_shares_rules",
+        "User-agent: abot\nUser-agent: focused-crawler\nUser-agent: bbot\n"
+        "Disallow: /shared",
+        "focused-crawler",
+        [("/shared", False)],
+    ),
+    (
+        "case_insensitive_token_and_directives",
+        "USER-AGENT: Focused-Crawler\nDISALLOW: /up\nallow: /up/ok",
+        "FOCUSED-CRAWLER",
+        [("/up", False), ("/up/ok", True)],
+    ),
+    (
+        "rules_before_any_group_ignored",
+        "Disallow: /stray\nUser-agent: *\nDisallow: /real",
+        "focused-crawler",
+        [("/real", False)],
+    ),
+    (
+        "comments_and_blanks_do_not_split_a_ua_run",
+        "User-agent: abot\n# comment\n\nUser-agent: focused-crawler\n"
+        "Disallow: /joint",
+        "focused-crawler",
+        [("/joint", False)],
+    ),
+    (
+        "rule_line_closes_the_run",
+        # the empty-value Disallow IS a rule: it closes abot's run, so
+        # the focused-crawler group that follows is separate — and the
+        # empty prefix itself is dropped (allow-all in REP)
+        "User-agent: abot\nDisallow:\nUser-agent: focused-crawler\n"
+        "Disallow: /sep",
+        "focused-crawler",
+        [("/sep", False)],
+    ),
+    (
+        "no_space_after_colon",
+        "User-agent:focused-crawler\nDisallow:/tight",
+        "focused-crawler",
+        [("/tight", False)],
+    ),
+    (
+        "unknown_directives_ignored_entirely",
+        "User-agent: focused-crawler\nCrawl-delay: 10\nSitemap: http://x/s.xml\n"
+        "Disallow: /after-unknown",
+        "focused-crawler",
+        [("/after-unknown", False)],
+    ),
+    (
+        "no_matching_group_at_all",
+        "User-agent: otherbot\nDisallow: /other",
+        "focused-crawler",
+        [],
+    ),
+    (
+        "star_group_not_merged_when_exact_exists",
+        "User-agent: focused-crawler\nUser-agent: *\nDisallow: /both\n\n"
+        "User-agent: *\nDisallow: /staronly",
+        "focused-crawler",
+        [("/both", False)],
+    ),
+]
+
+
+@pytest.mark.parametrize("name,content,agent,want", GOLDEN, ids=[g[0] for g in GOLDEN])
+def test_parse_robots_py_golden(name, content, agent, want):
+    assert parse_robots_py(content, agent) == want
+
+
+def test_relational_parse_matches_python_twin(spark):
+    """The Spark window-plan parse and the python twin agree rule-for-
+    rule on every golden body (same host key, set equality — the
+    evaluator's fold is order-independent)."""
+    rows = [(g[0], g[1]) for g in GOLDEN]
+    df = spark.createDataFrame(rows, "host string, content string")
+    got = parse_robots(df, "focused-crawler").collect()
+    by_host: dict[str, set] = {}
+    for r in got:
+        by_host.setdefault(r["host"], set()).add((r["prefix"], r["allow"]))
+    for name, content, agent, want in GOLDEN:
+        if agent.lower() != "focused-crawler":
+            continue  # relational run used one agent for all hosts
+        assert by_host.get(name, set()) == set(want), name
+
+
+def test_crawl_parity_with_raw_robots_bodies(spark, tmp_path):
+    """End-to-end: a crawl whose robots fixture is raw (host, content)
+    robots.txt bodies — decoy group for another bot, real rules under
+    'Focused-Crawler' or '*' — produces EXACTLY the oracle's ordering
+    and seen set (engine parses relationally, oracle via
+    parse_robots_py), and matches a control run on the equivalent
+    pre-parsed rule table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from storm_focused_crawler_spark import driver as drv
+    from storm_focused_crawler_spark.fixtures import gen_pages
+    from storm_focused_crawler_spark.oracle import seqcrawler as sq
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths = gen_pages.ensure(sf_dir)
+    legacy = pq.read_table(paths["robots"])
+    hosts = legacy.column("host").to_pylist()
+    prefixes = legacy.column("disallow_prefix").to_pylist()
+    contents = []
+    for i, (h, p) in enumerate(zip(hosts, prefixes)):
+        group = (
+            "User-agent: Focused-Crawler" if i % 2 == 0 else "User-agent: *"
+        )
+        contents.append(
+            "User-agent: NoSuchBot\nDisallow: /\n\n"
+            f"{group}\nDisallow: {p}\n"
+        )
+    raw_path = str(tmp_path / "robots_txt.parquet")
+    pq.write_table(
+        pa.table({"host": pa.array(hosts, pa.string()),
+                  "content": pa.array(contents, pa.string())}),
+        raw_path,
+    )
+    raw_paths = dict(paths, robots=raw_path)
+
+    cfg = drv.CrawlConfig(
+        rounds=2, capacity=64, keywords=tuple(gen_pages.topic_keywords())
+    )
+    wd_raw = str(tmp_path / "wd_raw")
+    wd_ctl = str(tmp_path / "wd_ctl")
+    shutil.rmtree(wd_raw, ignore_errors=True)
+    shutil.rmtree(wd_ctl, ignore_errors=True)
+    store_raw = drv.run_crawl(spark, raw_paths, cfg, wd_raw)
+    store_ctl = drv.run_crawl(spark, paths, cfg, wd_ctl)
+
+    def ordering(store):
+        out = []
+        for r in range(cfg.rounds):
+            out += sorted(
+                (x["round"], x["seq"], x["url"])
+                for x in store.read(spark, r, "ordering").collect()
+            )
+        return out
+
+    # the decoy group must not change verdicts: raw == pre-parsed control
+    assert ordering(store_raw) == ordering(store_ctl)
+
+    # and both equal the sequential oracle parsing the RAW bodies
+    pages, seeds, robots, budgets = sq.load_fixture_inputs(
+        raw_paths, user_agent=cfg.user_agent
+    )
+    res = sq.crawl(
+        pages, seeds, robots, budgets,
+        sq.CrawlConfig(rounds=2, capacity=64,
+                       keywords=tuple(gen_pages.topic_keywords())),
+    )
+    assert ordering(store_raw) == sorted(res.ordering)
+    got_seen = {
+        x["url_hash"]
+        for x in store_raw.read_union(spark, cfg.rounds - 1, "seen").collect()
+    }
+    assert got_seen == res.seen_hashes
