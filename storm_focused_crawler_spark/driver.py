@@ -97,6 +97,12 @@ class CrawlConfig:
     # the robots fixture carries raw robots.txt bodies (host, content);
     # pre-parsed rule tables bypass group selection entirely
     user_agent: str = "focused-crawler"
+    # per-host crawl-delay window: when host_budget carries
+    # min_interval_ms, a host's per-round budget is capped at
+    # ceil(round_ms / interval) — requests spaced interval ms apart
+    # inside a round_ms round (operators/frontier.dequeue; oracle twin
+    # in seqcrawler applies the identical integer-exact cap)
+    round_ms: int = 60_000
 
 
 # --------------------------------------------------------------------------
@@ -180,7 +186,8 @@ def run_round(
             )
             .drop("rank_i")
         )
-    deq = dequeue(elig, host_budget, cfg.capacity, cfg.n_salts, cfg.max_budget)
+    deq = dequeue(elig, host_budget, cfg.capacity, cfg.n_salts, cfg.max_budget,
+                  round_ms=cfg.round_ms)
     deq = (
         deq.select("url", "url_hash", "score", "depth", "seq")
         .observe(obs["dequeued"], F.count(F.lit(1)).alias("rows"))

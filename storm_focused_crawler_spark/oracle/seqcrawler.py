@@ -42,6 +42,8 @@ class CrawlConfig:
     # "keywords" (§2.1-4) or "topic_nb" (functions/topic_nb.score_text)
     scorer: str = "keywords"
     nb_target_topic: str = "databases"
+    # crawl-delay round window (driver.CrawlConfig.round_ms twin)
+    round_ms: int = 60_000
 
 
 @dataclass
@@ -92,6 +94,7 @@ def crawl(
     robots: dict[str, str],
     budgets: dict[str, int],
     cfg: CrawlConfig,
+    intervals: dict[str, int] | None = None,
 ) -> CrawlResult:
     corpus = latest_captures(pages_rows)
     res = CrawlResult()
@@ -102,7 +105,8 @@ def crawl(
         cand = (0.0, 0, 0)
         if cur is None or _better(cand, cur):
             res.frontier[c] = cand
-    crawl_rounds(res, corpus, seeds, robots, budgets, cfg, 0, cfg.rounds)
+    crawl_rounds(res, corpus, seeds, robots, budgets, cfg, 0, cfg.rounds,
+                 intervals=intervals)
     return res
 
 
@@ -115,9 +119,14 @@ def crawl_rounds(
     cfg: CrawlConfig,
     r_start: int,
     r_end: int,
+    intervals: dict[str, int] | None = None,
 ) -> CrawlResult:
     """Advance an existing crawl state through rounds [r_start, r_end) —
-    the resume/maintenance entry point (driver.run_crawl's loop twin)."""
+    the resume/maintenance entry point (driver.run_crawl's loop twin).
+
+    *intervals* maps host → min_interval_ms (the host_budget column):
+    the per-round budget cap is min(budget, ceil(round_ms/interval)),
+    computed with the same integer ceil as the engine."""
     for r in range(r_start, r_end):
         # --- §2.1-7: host authority over the graph discovered so far -------
         ranks: dict[str, int] | None = None
@@ -146,7 +155,11 @@ def crawl_rounds(
         picked: list[tuple[str, float, float, int]] = []
         for host, rows in by_host.items():
             rows.sort(key=lambda t: (-t[1], t[0]))
-            picked.extend(rows[: budgets.get(host, DEFAULT_BUDGET)])
+            b = budgets.get(host, DEFAULT_BUDGET)
+            i = (intervals or {}).get(host) or 0
+            if i > 0:  # crawl-delay cap, integer-exact ceil (engine twin)
+                b = min(b, (cfg.round_ms + i - 1) // i)
+            picked.extend(rows[:b])
         # --- global top-C, seq = rank ---------------------------------------
         picked.sort(key=lambda t: (-t[1], t[0]))
         dequeued = picked[: cfg.capacity]
@@ -250,3 +263,19 @@ def load_fixture_inputs(fix_paths: dict[str, str], user_agent: str = "focused-cr
     hb = pq.read_table(fix_paths["host_budget"])
     budgets = dict(zip(hb.column("host").to_pylist(), hb.column("budget").to_pylist()))
     return pages_rows, seeds, robots, budgets
+
+
+def load_intervals(fix_paths: dict[str, str]) -> dict[str, int]:
+    """host → min_interval_ms from the host_budget table ({} when the
+    column is absent — crawl-delay off, the pre-round-4 behavior)."""
+    import pyarrow.parquet as pq
+
+    hb = pq.read_table(fix_paths["host_budget"])
+    if "min_interval_ms" not in hb.column_names:
+        return {}
+    return {
+        h: int(i)
+        for h, i in zip(hb.column("host").to_pylist(),
+                        hb.column("min_interval_ms").to_pylist())
+        if i is not None and int(i) > 0
+    }

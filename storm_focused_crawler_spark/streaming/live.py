@@ -149,11 +149,16 @@ BUDGET_STATE_SCHEMA = "used long"
 
 
 def _budget_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.DataFrame]":
-    """Emit at most (budget − already-used) urls for this host, in
-    (url asc) order — the token bucket from [R] WebPageFetcherBolt's
-    per-host politeness, keyed by host like Storm's fieldsGrouping.
-    The deterministic url-order tiebreak matches §2.1-5."""
+    """Emit at most min(budget − already-used, icap) urls for this
+    host, in (url asc) order — the token bucket from [R]
+    WebPageFetcherBolt's per-host politeness, keyed by host like
+    Storm's fieldsGrouping.  The deterministic url-order tiebreak
+    matches §2.1-5.  ``icap`` (key[2]) is the per-batch crawl-delay
+    cap — ceil(round_ms / min_interval_ms), each micro-batch being one
+    round-window of wall time — so inter-request spacing holds per
+    generation while the lifetime budget keeps counting across them."""
     budget = key[1]
+    icap = key[2]
     used = int(state.get[0]) if state.exists else 0
     # one host group can arrive as MULTIPLE Arrow chunks in a micro-batch;
     # sorting/heading per chunk would make the picks chunk-boundary-
@@ -162,7 +167,7 @@ def _budget_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.D
     # memory stays O(budget), never O(group).
     import pandas as pd
 
-    remaining = budget - used
+    remaining = min(budget - used, icap)
     best = None
     for pdf in pdf_iter:
         if remaining <= 0:
@@ -181,20 +186,32 @@ def _budget_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.D
     state.update((used,))
 
 
-def politeness_limit_stream(urls: DataFrame, budget: int) -> DataFrame:
+def politeness_limit_stream(urls: DataFrame, budget: int,
+                            min_interval_ms: int = 0,
+                            round_ms: int = 60_000) -> DataFrame:
     """Streaming per-host politeness cap: applyInPandasWithState keyed
     by host, emitting at most *budget* urls per host over the stream's
     lifetime (the continuous twin of the batch two-phase dequeue's
-    per-host budget).  State per group is ONE counter — bounded by
-    host count, never by frontier size."""
+    per-host budget), and — when *min_interval_ms* > 0 — at most
+    ceil(round_ms / min_interval_ms) per micro-batch (the crawl-delay
+    token bucket: one batch ≈ one round_ms window, requests spaced
+    min_interval_ms apart inside it; the batch dequeue applies the
+    identical integer-exact cap).  State per group is ONE counter —
+    bounded by host count, never by frontier size."""
     from storm_focused_crawler_spark.functions.udfs import host_col
 
+    icap = (
+        (round_ms + min_interval_ms - 1) // min_interval_ms
+        if min_interval_ms > 0
+        else budget
+    )
     keyed = urls.select(
         "url",
         host_col(F.col("url")).alias("host"),
         F.lit(budget).alias("budget"),
+        F.lit(icap).alias("icap"),
     )
-    return keyed.groupBy("host", "budget").applyInPandasWithState(
+    return keyed.groupBy("host", "budget", "icap").applyInPandasWithState(
         _budget_fn,
         outputStructType=BUDGET_OUT_SCHEMA,
         stateStructType=BUDGET_STATE_SCHEMA,
