@@ -2,11 +2,13 @@
 
 Baseline: brute-force cosine top-k — JVM-side zip_with/aggregate dot
 products, a crossJoin pruned by broadcast of the (small) query set, and
-a per-query window for the top-k.  At 100 TB the scale path is the
-LSH-bucketed variant: random-hyperplane signatures (one Arrow-batched
-numpy matmul per partition — vectorized, never per-row) bucket the
-corpus, and only same-bucket candidates are scored, turning the O(N·Q)
-scan into O(N/2^P · Q) per probe.
+a per-query window for the top-k.  At 100 TB the scale paths are the
+IVF coarse quantizer (score only the nprobe nearest clusters) and the
+multi-band hyperplane-LSH variant: n_bands OR-ed bucket tables (one
+Arrow-batched numpy matmul per batch — vectorized, never per-row),
+geometry DERIVED from a (min_cos, target_recall) design point by
+operators/dedup.lsh_geometry, and only bucket-colliding candidates are
+exact-cosine scored.
 """
 
 from __future__ import annotations
@@ -53,24 +55,6 @@ def brute_force_knn(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos")
     )
-
-
-def hyperplane_bucket_udf(dim: int, n_planes: int):
-    """Arrow-batched numpy signature: embedding → LSH bucket int.
-
-    Hyperplanes are a pure function of (seed, dim, n_planes) — every
-    executor regenerates the identical matrix; nothing is shipped.
-    """
-
-    @F.pandas_udf("int")
-    def bucket(emb: pd.Series) -> pd.Series:
-        planes = np.random.RandomState(PLANES_SEED).standard_normal((n_planes, dim))
-        m = np.vstack(emb.to_numpy())  # (batch, dim) one matmul per Arrow batch
-        signs = (m @ planes.T) > 0
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series((signs @ weights).astype(np.int32))
-
-    return bucket
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -183,20 +167,58 @@ def knn_recall(ann: DataFrame, brute: DataFrame) -> DataFrame:
 
 
 def lsh_knn(
-    emb: DataFrame, queries: DataFrame, k: int, dim: int, n_planes: int = 4,
+    emb: DataFrame, queries: DataFrame, k: int, dim: int,
+    min_cos: float = 0.4, target_recall: float = 0.9,
+    n_bands: int | None = None, planes_per_band: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates."""
-    bucket = hyperplane_bucket_udf(dim, n_planes)
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bkt", bucket(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("bkt", bucket(F.col("qv")))
-    scored = (
-        c.join(F.broadcast(q), "bkt")
+    """Approximate top-k via MULTI-BAND hyperplane LSH (OR-
+    amplification), sharing the geometry machinery of
+    operators/dedup (VERDICT r03 'Next round' #5).
+
+    A candidate is any corpus vector sharing ≥1 of n_bands
+    (planes_per_band-plane) buckets with the query; by default the
+    (n_bands, planes_per_band) pair is DERIVED by dedup.lsh_geometry
+    from the (min_cos, target_recall) design point — a neighbor at
+    cosine ≥ min_cos is recalled w.p. ≥ target_recall, by construction
+    rather than hand-tuning.  The r2/r3 single-table variant (one
+    4-plane bucket) had config-fragile recall at high dim; multiple
+    OR-ed bands is the standard fix.
+
+    Plan shape: the corpus's band buckets stream against the BROADCAST
+    query buckets (bucket equi-join, no corpus shuffle); only the
+    surviving (query, neighbor) pairs are exact-cosine scored.  At
+    production design points (min_cos ≥ 0.7) the expected candidate
+    fraction is a real prune; at loose ones the derivation is honest
+    about scanning more (same story as dedup.lsh_geometry).
+    """
+    from storm_focused_crawler_spark.operators.dedup import (
+        embedding_band_buckets_udf,
+        lsh_geometry,
+    )
+
+    if n_bands is None or planes_per_band is None:
+        d_bands, d_planes = lsh_geometry(min_cos, target_recall)
+        n_bands = n_bands if n_bands is not None else d_bands
+        planes_per_band = planes_per_band if planes_per_band is not None else d_planes
+    buckets = embedding_band_buckets_udf(dim, n_bands, planes_per_band)
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cb = c.select(
+        "neighbor_id", F.posexplode(buckets(F.col("cv"))).alias("band", "bkt")
+    )
+    qb = q.select(
+        "query_id", F.posexplode(buckets(F.col("qv"))).alias("band", "bkt")
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())

@@ -204,11 +204,13 @@ def sim_knn_cosine(spark, sf_dir):
     return S.brute_force_knn(e, q, k=5)
 
 
-@op("sim_knn_lsh", None)  # numpy hyperplane buckets — pytest recall-locked
+@op("sim_knn_lsh", None)  # multi-band hyperplane LSH — pytest recall-locked
 def sim_knn_lsh(spark, sf_dir):
+    # geometry derived from the (min_cos, target_recall) design point
+    # via operators/dedup.lsh_geometry — not hand-tuned (VERDICT r03 #5)
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    return S.lsh_knn(e, q, k=5, dim=64, n_planes=4)
+    return S.lsh_knn(e, q, k=5, dim=64, min_cos=0.4, target_recall=0.9)
 
 
 @op("sim_knn_ivf", None)  # deterministic kmeans coarse quantizer — recall-locked
@@ -223,7 +225,8 @@ def sim_knn_lsh_recall(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.knn_recall(
-        S.lsh_knn(e, q, k=5, dim=64, n_planes=4), S.brute_force_knn(e, q, k=5)
+        S.lsh_knn(e, q, k=5, dim=64, min_cos=0.4, target_recall=0.9),
+        S.brute_force_knn(e, q, k=5),
     )
 
 

@@ -49,22 +49,29 @@ def test_fingerprint_matches_python_oracle(spark, sf_dir):
         assert got[r["doc_id"]] == D.fingerprint_py(r["text"]), r["doc_id"]
 
 
-def test_lsh_knn_subset_of_brute_force_space(spark, sf_dir):
+def test_lsh_knn_multiband_recall_at_design_point(spark, sf_dir):
+    """Multi-band OR-amplified LSH (VERDICT r03 #5): with geometry
+    DERIVED from a (min_cos, target_recall) design point, true top-k
+    neighbors at cosine ≥ min_cos are recalled at ≥ the target rate —
+    the guarantee is by construction, not hand-tuning.  min_cos 0.25
+    sits below the fixture's whole top-5 cos range, so the check is
+    non-vacuous on every brute-force pair.  Exact cos agreement on
+    shared pairs stays locked."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 100 == 0)
     bf = S.brute_force_knn(emb, q, k=5)
-    lsh = S.lsh_knn(emb, q, k=5, dim=64, n_planes=4)
+    lsh = S.lsh_knn(emb, q, k=5, dim=64, min_cos=0.25, target_recall=0.9)
     bf_rows = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in bf.collect()}
     lsh_rows = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in lsh.collect()}
     assert lsh_rows, "LSH produced no candidates"
     # cos values must agree exactly where both report the same pair
     agree = [k for k in lsh_rows if k in bf_rows]
     assert all(lsh_rows[k] == bf_rows[k] for k in agree)
-    # recall floor is intentionally loose: single-table LSH with 16
-    # buckets over near-random vectors has low recall by construction;
-    # the locked property is exact cos agreement on shared pairs above
-    recall = len(agree) / max(len(bf_rows), 1)
-    assert recall > 0.0, f"recall {recall}"
+    above = [k for k, cos in bf_rows.items() if cos >= 0.25]
+    assert above, "fixture has no pairs above the design point"
+    hit = [k for k in above if k in lsh_rows]
+    recall = len(hit) / len(above)
+    assert recall >= 0.9, f"design-point recall {recall} < target 0.9"
 
 
 def test_ivf_knn_recall_vs_brute_force(spark, sf_dir):
@@ -120,11 +127,13 @@ def test_embedding_near_pairs_plan_has_no_cross_product(spark, sf_dir):
 
 def test_recall_ops_report_quality(spark, sf_dir):
     """Calibration ops emit per-query recall; IVF (nprobe 4/16) must
-    beat 0.5 mean recall, LSH reports honestly (floor > 0)."""
+    beat 0.5 mean recall, and multi-band LSH beats 0.5 too (the r3
+    single-table variant's floor was 0.0; measured 0.64 at sf0.001 /
+    0.88 at sf0.01 with the derived (0.4, 0.9) geometry)."""
     from storm_focused_crawler_spark.plans import pipeline_ops  # noqa: F401 — registers ops
     from storm_focused_crawler_spark.plans.queries import REGISTRY
 
-    for name, floor in (("sim_knn_ivf_recall", 0.5), ("sim_knn_lsh_recall", 0.0)):
+    for name, floor in (("sim_knn_ivf_recall", 0.5), ("sim_knn_lsh_recall", 0.5)):
         fn, _ = REGISTRY[name]
         rows = fn(spark, sf_dir).collect()
         assert rows, name
