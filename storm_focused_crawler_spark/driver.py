@@ -529,6 +529,12 @@ def run_crawl(
         if cfg.use_bloom:
             amend["bloom_cfg"] = bloom_cfg
         store.amend_manifest(rnd, amend)
+        if compact_now and cfg.use_bloom:
+            # the filter sidecar is a FULL snapshot per round and only
+            # the latest is ever read — fold older snapshots into the
+            # compaction-round cleanup so the state dir holds
+            # O(compact_every) of them on a 1000-round crawl
+            store.prune_table("bloom", rnd)
         # cut lineage: next round reads the committed snapshot
         frontier = store.read(spark, rnd, "frontier")
         seen = store.read_union(spark, rnd, "seen")

@@ -139,6 +139,46 @@ class ParquetSnapshotStore:
             )
         return spark.read.parquet(*paths)
 
+    def prune_table(self, table: str, keep_from: int) -> list[int]:
+        """Delete *table*'s data files for committed rounds < keep_from
+        and record the pruning in those rounds' manifests (the name
+        leaves ``tables`` so read_union skips it; ``pruned`` keeps the
+        row count for audit).  For per-round FULL snapshots — the
+        bloom/cuckoo seen-filter sidecar, rewritten whole every round —
+        only the latest snapshot is ever read, so a compaction round
+        prunes the older ones and the state dir holds
+        O(compact_every) filter snapshots on arbitrarily long crawls
+        (VERDICT r03 'Next round' #7).  Never use on append-only DELTA
+        tables (seen/host_edges/postings): their old rounds stay
+        readable history until a ``<table>_full`` supersedes them.
+
+        Returns the pruned round numbers.  Crash-safe: a kill between
+        the rmtree and the manifest rewrite leaves a missing dir whose
+        manifest still lists the table — the next prune call re-amends
+        it (os.path.isdir guards the rmtree; the manifest pop is
+        re-applied idempotently)."""
+        pruned: list[int] = []
+        for d in os.listdir(self.root):
+            if not d.startswith("round="):
+                continue
+            r = int(d.split("=", 1)[1])
+            if r >= keep_from or not os.path.exists(self._manifest(r)):
+                continue
+            p = os.path.join(self.root, d, table)
+            m = self.manifest(r)
+            if table not in m["tables"] and not os.path.isdir(p):
+                continue  # already fully pruned
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            rows = m["tables"].pop(table, None)
+            m.setdefault("pruned", {})[table] = rows
+            mtmp = self._manifest(r) + ".tmp"
+            with open(mtmp, "w") as f:
+                json.dump(m, f)
+            os.rename(mtmp, self._manifest(r))
+            pruned.append(r)
+        return sorted(pruned)
+
     def latest_round(self) -> int | None:
         """Highest committed round, or None (resume entry point)."""
         best = None

@@ -97,3 +97,56 @@ def test_delta_tables_compact_too(spark, sf_dir, tmp_path):
         for r in s_comp.read(spark, n, "host_edges").select("src", "dst").collect()
     }
     assert pre <= full_only
+
+
+def test_filter_sidecar_snapshots_pruned_on_compaction(spark, sf_dir, tmp_path):
+    """The bloom/cuckoo sidecar is a FULL snapshot per round; compaction
+    rounds prune the older ones (VERDICT r03 #7), so a long crawl's
+    state dir holds O(compact_every) filter snapshots — while resume,
+    probe correctness, and state parity are untouched."""
+    import os
+
+    paths = gen_pages.ensure(sf_dir)
+
+    def cfg(rounds, compact_every, **kw):
+        return drv.CrawlConfig(
+            rounds=rounds, capacity=32,
+            keywords=tuple(gen_pages.topic_keywords()),
+            compact_every=compact_every,
+            use_bloom=True, seen_filter="cuckoo",
+            bloom_shards=4, cuckoo_buckets_per_shard=1 << 10, **kw,
+        )
+
+    wd = str(tmp_path / "prune")
+    store = drv.run_crawl(spark, paths, cfg(9, 3), wd)
+
+    def bloom_rounds():
+        root = store.root
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("round=")
+            and os.path.isdir(os.path.join(root, d, "bloom"))
+        )
+
+    have = bloom_rounds()
+    # last compaction at round 8 pruned every snapshot below 8
+    assert have == [8], have
+    # pruned rounds' manifests record it and drop the table entry
+    for r in range(8):
+        m = store.manifest(r)
+        assert "bloom" not in m["tables"], r
+        assert "bloom" in m.get("pruned", {}), r
+    # state parity with an unpruned/uncompacted run
+    ref = drv.run_crawl(
+        spark, paths,
+        drv.CrawlConfig(rounds=9, capacity=32,
+                        keywords=tuple(gen_pages.topic_keywords()),
+                        compact_every=0),
+        str(tmp_path / "prune_ref"),
+    )
+    assert _state(spark, store, 9) == _state(spark, ref, 9)
+    # resume after pruning still works (reads only the latest snapshot)
+    store2 = drv.run_crawl(spark, paths, cfg(11, 3), wd, resume=True)
+    assert store2.latest_round() == 10
+    assert bloom_rounds() == [8, 9, 10]  # next compaction lands at 11
