@@ -59,9 +59,16 @@ class ParquetSnapshotStore:
             shutil.rmtree(rdir)  # uncommitted leftovers from a killed run
         tmp = os.path.join(rdir, "_tmp")
         counts: dict[str, int] = {}
+        write_sec: dict[str, float] = {}
         for name, df in tables.items():
             path = os.path.join(tmp, name)
+            t0 = time.time()
             df.write.mode("overwrite").parquet(path)
+            # per-table write wall: the write triggers that branch of the
+            # round DAG, so this attributes round cost to stages (shared
+            # persisted inputs bill to their first consumer) — the
+            # drift-attribution data BENCH_r04+ reports per crawl
+            write_sec[name] = round(time.time() - t0, 3)
             counts[name] = _parquet_rows(path)
         for name in tables:
             os.rename(os.path.join(tmp, name), os.path.join(rdir, name))
@@ -82,7 +89,7 @@ class ParquetSnapshotStore:
         with open(mtmp, "w") as f:
             json.dump(
                 {"round": rnd, "tables": counts, "compact": compact,
-                 "committed_at": time.time()},
+                 "write_sec": write_sec, "committed_at": time.time()},
                 f,
             )
         os.rename(mtmp, self._manifest(rnd))
