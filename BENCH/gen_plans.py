@@ -159,6 +159,34 @@ def main() -> None:
          "The loop localCheckpoints each round, so THIS is the whole plan "
          "every iteration — plan depth does not grow with iteration count.",
          cc_iter),
+        ("Multi-band LSH kNN (sim_knn_lsh)",
+         "n_bands OR-ed band buckets (geometry derived from the design "
+         "point by dedup.lsh_geometry): the corpus's band buckets stream "
+         "against the BROADCAST query buckets — the corpus is never "
+         "exchanged for candidate generation; only surviving pairs are "
+         "exact-cosine scored.",
+         REGISTRY["sim_knn_lsh"][0](spark, SF)),
+        ("RFC 9309 robots.txt group-selection parse",
+         "posexplode lines + regex classify + lag/running-max windows "
+         "assign rules to user-agent runs; group selection is a per-host "
+         "aggregate + join.  Robots tables are dim-sized — every window "
+         "partitions by host over one file's lines.",
+         RB.parse_robots(
+             spark.createDataFrame(
+                 [("h.ex", "User-agent: a\nDisallow: /x\nUser-agent: *\nAllow: /y")],
+                 "host string, content string"),
+             "focused-crawler")),
+        ("Crawl-delay dequeue (min_interval_ms cap)",
+         "The interval cap folds into the broadcast budget join as a "
+         "scalar expression (integer-exact ceil); both rank filters keep "
+         "their LITERAL bounds, so WindowGroupLimit survives unchanged — "
+         "the politeness cap costs no extra exchange.",
+         __import__("storm_focused_crawler_spark.operators.frontier",
+                    fromlist=["dequeue"]).dequeue(
+             frontier.withColumn("host", F.lit("h.ex")),
+             spark.createDataFrame([("h.ex", 4, 15000)],
+                                   "host string, budget int, min_interval_ms int"),
+             capacity=64, n_salts=8, max_budget=4)),
         ("Scan pruning (scan_pages)",
          "Projection reaches the parquet scan: ReadSchema carries only the "
          "selected columns.",

@@ -75,6 +75,17 @@ def test_dequeue_uses_window_group_limit(spark, fixture_paths):
     assert plan.count("WindowGroupLimit") >= 2, "phase-1/phase-2 top-k not pruned"
     assert "BroadcastHashJoin" in plan  # budgets joined broadcast
 
+    # the crawl-delay cap (min_interval_ms) must NOT cost the pruning:
+    # it folds into the budget column as a scalar expression and the
+    # literal rank bounds keep compiling to WindowGroupLimit
+    delayed = budgets.withColumn(
+        "min_interval_ms",
+        F.when(F.length("host") % 2 == 0, F.lit(15_000)),
+    )
+    plan_d = _plan(dequeue(frontier, delayed, 64, n_salts=8))
+    assert plan_d.count("WindowGroupLimit") >= 2, "interval cap broke top-k pruning"
+    assert "BroadcastHashJoin" in plan_d
+
 
 def test_no_html_through_round_shuffles(spark, fixture_paths, tmp_path):
     """In the crawl round DAG, html may appear ONLY below the first
