@@ -367,14 +367,36 @@ def run_crawl(
     corpus_path = prepare_corpus(spark, fixture_paths["pages"], workdir, cfg.url_buckets)
     corpus = spark.read.parquet(corpus_path)
     robots = spark.read.parquet(fixture_paths["robots"])
+    host_budget = spark.read.parquet(fixture_paths["host_budget"])
     if "content" in robots.columns:
         # raw robots.txt bodies: RFC 9309 §2.2.1 user-agent group
         # selection happens HERE, once per crawl (robots is dim-sized);
-        # the oracle twin parses with robots.parse_robots_py in lockstep
-        from storm_focused_crawler_spark.operators.robots import parse_robots
+        # the oracle twin parses with robots.parse_robots_py in lockstep.
+        # The selected group's Crawl-delay directive merges into
+        # host_budget.min_interval_ms (max with any explicit column) so
+        # the dequeue's interval cap honors robots-declared politeness.
+        from storm_focused_crawler_spark.operators.robots import (
+            parse_crawl_delays,
+            parse_robots,
+        )
 
+        delays = parse_crawl_delays(robots, cfg.user_agent).withColumnRenamed(
+            "delay_ms", "_robots_delay_ms"
+        )
         robots = parse_robots(robots, cfg.user_agent)
-    host_budget = spark.read.parquet(fixture_paths["host_budget"])
+        have = (
+            F.coalesce(F.col("min_interval_ms"), F.lit(0))
+            if "min_interval_ms" in host_budget.columns
+            else F.lit(0)
+        )
+        eff = F.greatest(have, F.coalesce(F.col("_robots_delay_ms"), F.lit(0)))
+        host_budget = (
+            # FULL outer: a delay-only host still gets its interval cap
+            # (budget stays null there — dequeue coalesces to DEFAULT)
+            host_budget.join(delays, "host", "full")
+            .withColumn("min_interval_ms", F.when(eff > 0, eff).cast("int"))
+            .drop("_robots_delay_ms")
+        )
     if cfg.max_budget is None:
         # never mutate the caller's cfg: a reused CrawlConfig against a
         # different host_budget table would carry a stale literal bound

@@ -32,13 +32,18 @@ RULES_SCHEMA = "host string, prefix string, allow boolean"
 #     value — an empty-value rule still closes a user-agent run (it IS
 #     a rule in the ABNF) but is dropped from the output because the
 #     evaluator treats no-match as allowed (empty prefix = allow-all);
+#   * a crawl-delay line (the widely-supported extension; decimal
+#     seconds) belongs to its group like a rule does — it also closes
+#     a user-agent run;
 #   * every other line (blank, comment, unknown directive) is
 #     unparseable per §2.2.3 and ignored ENTIRELY — it neither joins
 #     nor breaks a user-agent run.
 _UA_PAT = r"(?i)^user-agent:\s*(\S+)\s*$"
 _RULE_PAT = r"(?i)^(allow|disallow):\s*(\S*)"
+_DELAY_PAT = r"(?i)^crawl-delay:\s*(\d+(?:\.\d+)?)\s*$"
 _UA_RE = re.compile(_UA_PAT)
 _RULE_RE = re.compile(_RULE_PAT)
+_DELAY_RE = re.compile(_DELAY_PAT)
 DEFAULT_AGENT = "focused-crawler"
 
 
@@ -54,14 +59,33 @@ def parse_robots_py(content: str, agent: str = DEFAULT_AGENT) -> list[tuple[str,
     ``*`` groups are merged; rules before any user-agent line are
     ignored.  Returns [(prefix, allow)] for the selected groups.
     """
+    out: list[tuple[str, bool]] = []
+    for _agents, rules, _delays in _selected_groups_py(content, agent):
+        out.extend(rules)
+    return out
+
+
+def parse_crawl_delay_py(content: str, agent: str = DEFAULT_AGENT) -> int | None:
+    """Crawl-delay of the RFC 9309-selected group(s), in MILLISECONDS
+    (int(float(seconds) * 1000)); None when no selected group carries
+    the directive.  Multiple directives merge conservatively (max) —
+    python twin of :func:`parse_crawl_delays`."""
+    delays = [d for _a, _r, ds in _selected_groups_py(content, agent) for d in ds]
+    return max(delays) if delays else None
+
+
+def _selected_groups_py(content: str, agent: str):
+    """Shared grouping + §2.2.1 selection: the groups (agents, rules,
+    delays_ms) whose user-agent set names *agent* exactly — or ``*``
+    when no group does."""
     agent = agent.lower()
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    groups: list[tuple[list[str], list[tuple[str, bool]], list[int]]] = []
     prev_ua = False
     for raw in content.split("\n"):
         m = _UA_RE.match(raw)
         if m:
             if not prev_ua:
-                groups.append(([], []))
+                groups.append(([], [], []))
             groups[-1][0].append(m.group(1).lower())
             prev_ua = True
             continue
@@ -70,14 +94,16 @@ def parse_robots_py(content: str, agent: str = DEFAULT_AGENT) -> list[tuple[str,
             prev_ua = False
             if groups and m.group(2):
                 groups[-1][1].append((m.group(2), m.group(1).lower() == "allow"))
+            continue
+        m = _DELAY_RE.match(raw)
+        if m:
+            prev_ua = False
+            if groups:
+                groups[-1][2].append(int(float(m.group(1)) * 1000))
         # unparseable lines: ignored entirely (prev_ua unchanged)
-    has_exact = any(agent in agents for agents, _ in groups)
+    has_exact = any(agent in agents for agents, _r, _d in groups)
     want = agent if has_exact else "*"
-    out: list[tuple[str, bool]] = []
-    for agents, rules in groups:
-        if want in agents:
-            out.extend(rules)
-    return out
+    return [g for g in groups if want in g[0]]
 
 
 def parse_robots(df: DataFrame, agent: str = DEFAULT_AGENT,
@@ -94,6 +120,49 @@ def parse_robots(df: DataFrame, agent: str = DEFAULT_AGENT,
     host), so the per-host line windows are trivially small; nothing
     here touches frontier-scale data.
     """
+    runid, chosen = _classified_runs(df, agent, host_col, content_col)
+    rules = runid.filter(F.col("is_rule")).select(
+        "host",
+        "run_id",
+        F.regexp_extract("line", r"(?i)^(?:allow|disallow):\s*(\S*)", 1).alias("prefix"),
+        F.col("line").rlike(r"(?i)^allow:").alias("allow"),
+    )
+    return (
+        rules.join(chosen, ["host", "run_id"])
+        .filter(F.length("prefix") >= 1)
+        .select("host", "prefix", "allow")
+    )
+
+
+def parse_crawl_delays(df: DataFrame, agent: str = DEFAULT_AGENT,
+                       host_col: str = "host",
+                       content_col: str = "content") -> DataFrame:
+    """(host, content) → (host, delay_ms): the selected group's
+    ``Crawl-delay:`` directive (decimal seconds → int milliseconds),
+    merged conservatively (max) when several selected groups carry one.
+    Hosts without a selected-group directive are absent.  Feeds
+    host_budget.min_interval_ms (driver.run_crawl); python twin:
+    :func:`parse_crawl_delay_py`."""
+    runid, chosen = _classified_runs(df, agent, host_col, content_col)
+    delays = runid.filter(F.col("is_delay")).select(
+        "host",
+        "run_id",
+        (F.regexp_extract("line", _DELAY_PAT, 1).cast("double") * 1000)
+        .cast("int")
+        .alias("delay_ms"),
+    )
+    return (
+        delays.join(chosen, ["host", "run_id"])
+        .groupBy("host")
+        .agg(F.max("delay_ms").alias("delay_ms"))
+    )
+
+
+def _classified_runs(df: DataFrame, agent: str, host_col: str, content_col: str):
+    """Shared relational grouping: explode lines, regex-classify
+    (ua/rule/delay — anything else dropped), assign each kept line to
+    the maximal user-agent run preceding it, and compute the §2.2.1
+    chosen (host, run_id) set for *agent*."""
     agent = agent.lower()
     lines = df.select(
         F.col(host_col).alias("host"),
@@ -101,9 +170,11 @@ def parse_robots(df: DataFrame, agent: str = DEFAULT_AGENT,
     )
     is_ua = F.col("line").rlike(_UA_PAT)
     is_rule = F.col("line").rlike(r"(?i)^(allow|disallow):")
-    kept = lines.select("host", "idx", "line", is_ua.alias("is_ua")).filter(
-        is_ua | is_rule
-    )
+    is_delay = F.col("line").rlike(_DELAY_PAT)
+    kept = lines.select(
+        "host", "idx", "line",
+        is_ua.alias("is_ua"), is_rule.alias("is_rule"), is_delay.alias("is_delay"),
+    ).filter(is_ua | is_rule | is_delay)
     w = Window.partitionBy("host").orderBy("idx")
     runid = (
         kept.withColumn(
@@ -119,18 +190,12 @@ def parse_robots(df: DataFrame, agent: str = DEFAULT_AGENT,
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
-        .filter(F.col("run_id").isNotNull())  # rules before any UA line
+        .filter(F.col("run_id").isNotNull())  # directives before any UA line
     )
     agents = runid.filter("is_ua").select(
         "host",
         "run_id",
         F.lower(F.regexp_extract("line", _UA_PAT, 1)).alias("token"),
-    )
-    rules = runid.filter(~F.col("is_ua")).select(
-        "host",
-        "run_id",
-        F.regexp_extract("line", r"(?i)^(?:allow|disallow):\s*(\S*)", 1).alias("prefix"),
-        F.col("line").rlike(r"(?i)^allow:").alias("allow"),
     )
     per_run = agents.groupBy("host", "run_id").agg(
         F.max(F.col("token") == agent).alias("run_exact"),
@@ -143,11 +208,7 @@ def parse_robots(df: DataFrame, agent: str = DEFAULT_AGENT,
         (F.col("any_exact") & F.col("run_exact"))
         | (~F.col("any_exact") & F.col("run_star"))
     ).select("host", "run_id")
-    return (
-        rules.join(chosen, ["host", "run_id"])
-        .filter(F.length("prefix") >= 1)
-        .select("host", "prefix", "allow")
-    )
+    return runid, chosen
 
 
 def rules_by_host(rules: DataFrame) -> DataFrame:

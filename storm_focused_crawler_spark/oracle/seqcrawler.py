@@ -265,17 +265,28 @@ def load_fixture_inputs(fix_paths: dict[str, str], user_agent: str = "focused-cr
     return pages_rows, seeds, robots, budgets
 
 
-def load_intervals(fix_paths: dict[str, str]) -> dict[str, int]:
-    """host → min_interval_ms from the host_budget table ({} when the
-    column is absent — crawl-delay off, the pre-round-4 behavior)."""
+def load_intervals(fix_paths: dict[str, str],
+                   user_agent: str = "focused-crawler") -> dict[str, int]:
+    """host → min_interval_ms: the host_budget column merged (max, the
+    engine's conservative rule) with any ``Crawl-delay:`` directive of
+    the selected group when the robots table carries raw bodies —
+    driver.run_crawl's twin.  {} when neither source exists."""
     import pyarrow.parquet as pq
 
+    out: dict[str, int] = {}
     hb = pq.read_table(fix_paths["host_budget"])
-    if "min_interval_ms" not in hb.column_names:
-        return {}
-    return {
-        h: int(i)
+    if "min_interval_ms" in hb.column_names:
         for h, i in zip(hb.column("host").to_pylist(),
-                        hb.column("min_interval_ms").to_pylist())
-        if i is not None and int(i) > 0
-    }
+                        hb.column("min_interval_ms").to_pylist()):
+            if i is not None and int(i) > 0:
+                out[h] = int(i)
+    rb = pq.read_table(fix_paths["robots"])
+    if "content" in rb.column_names:
+        from storm_focused_crawler_spark.operators.robots import parse_crawl_delay_py
+
+        for h, c in zip(rb.column("host").to_pylist(),
+                        rb.column("content").to_pylist()):
+            d = parse_crawl_delay_py(c, user_agent)
+            if d is not None and d > 0:
+                out[h] = max(out.get(h, 0), d)
+    return out

@@ -528,6 +528,7 @@ def extract_media(spark, sf_dir):
              ELSE 'User-agent: *' END || chr(10) ||
         'Disallow: /private' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
         'Allow: /public' || chr(10) ||
+        'Crawl-delay: 2.5' || chr(10) ||
         'disallow:/tmp' || CAST((doc_id % 7) % 3 AS VARCHAR) AS content
       FROM documents),
     d AS (SELECT DISTINCT robot_id, content FROM r),
@@ -539,9 +540,10 @@ def extract_media(spark, sf_dir):
     cls AS (
       SELECT robot_id, idx, line,
              regexp_matches(line, '(?i)^user-agent:\s*\S+\s*$') AS is_ua,
-             regexp_matches(line, '(?i)^(allow|disallow):') AS is_rule
+             regexp_matches(line, '(?i)^(allow|disallow):') AS is_rule,
+             regexp_matches(line, '(?i)^crawl-delay:\s*\d+(\.\d+)?\s*$') AS is_delay
       FROM l2),
-    kept AS (SELECT * FROM cls WHERE is_ua OR is_rule),
+    kept AS (SELECT * FROM cls WHERE is_ua OR is_rule OR is_delay),
     runs AS (
       SELECT *, CASE WHEN is_ua AND NOT coalesce(
                  lag(is_ua) OVER (PARTITION BY robot_id ORDER BY idx), FALSE)
@@ -582,6 +584,18 @@ def parse_robots_txt(spark, sf_dir):
     — feed the longest-match REP evaluator.  Decoy groups, stray
     pre-group rules, mixed-case and no-space directives are all
     exercised; empty prefixes are dropped (allow-all in REP)."""
+    parsed = RB.parse_robots(
+        _robots_bodies(spark, sf_dir), "focused-crawler", host_col="robot_id"
+    )
+    return parsed.select(
+        F.col("host").alias("robot_id"),
+        "prefix",
+        F.col("allow").cast("int").alias("allow"),
+    )
+
+
+def _robots_bodies(spark, sf_dir):
+    """The same synthetic robots.txt bodies parse_robots_txt builds."""
     d = _t(spark, sf_dir, "documents")
     rid = (F.col("doc_id") % 7).alias("robot_id")
     content = F.concat(
@@ -592,16 +606,23 @@ def parse_robots_txt(spark, sf_dir):
         ).otherwise(F.lit("User-agent: *")),
         F.lit("\nDisallow: /private"),
         (F.col("doc_id") % 7).cast("string"),
-        F.lit("\nAllow: /public\ndisallow:/tmp"),
+        F.lit("\nAllow: /public\nCrawl-delay: 2.5\ndisallow:/tmp"),
         ((F.col("doc_id") % 7) % 3).cast("string"),
     )
-    r = d.select(rid, content.alias("content")).distinct()
-    parsed = RB.parse_robots(r, "focused-crawler", host_col="robot_id")
-    return parsed.select(
-        F.col("host").alias("robot_id"),
-        "prefix",
-        F.col("allow").cast("int").alias("allow"),
+    return d.select(rid, content.alias("content")).distinct()
+
+
+@op("parse_crawl_delay", None)  # pytest-locked vs parse_crawl_delay_py
+def parse_crawl_delay(spark, sf_dir):
+    """Selected-group ``Crawl-delay:`` extraction (the politeness
+    extension every major crawler honors): decimal seconds → int ms,
+    max-merged across selected groups; feeds the dequeue's
+    min_interval_ms cap in driver.run_crawl (test_robots_groups.py
+    locks the end-to-end crawl parity)."""
+    parsed = RB.parse_crawl_delays(
+        _robots_bodies(spark, sf_dir), "focused-crawler", host_col="robot_id"
     )
+    return parsed.select(F.col("host").alias("robot_id"), "delay_ms")
 
 
 # host → REP rules exercising every precedence branch over the derived

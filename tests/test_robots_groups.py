@@ -80,6 +80,9 @@ GOLDEN = [
     ),
     (
         "unknown_directives_ignored_entirely",
+        # Sitemap is unknown (ignored entirely); Crawl-delay is KNOWN
+        # since r4 (kept for run structure + delay extraction) but never
+        # becomes a rule — either way the Disallow still binds
         "User-agent: focused-crawler\nCrawl-delay: 10\nSitemap: http://x/s.xml\n"
         "Disallow: /after-unknown",
         "focused-crawler",
@@ -195,3 +198,140 @@ def test_crawl_parity_with_raw_robots_bodies(spark, tmp_path):
         for x in store_raw.read_union(spark, cfg.rounds - 1, "seen").collect()
     }
     assert got_seen == res.seen_hashes
+
+
+# ---------------------------------------------------------------------------
+# Crawl-delay directive (the politeness extension) — selected-group only
+# ---------------------------------------------------------------------------
+
+DELAY_GOLDEN = [
+    (
+        "delay_from_exact_group",
+        "User-agent: *\nCrawl-delay: 9\n\n"
+        "User-agent: focused-crawler\nDisallow: /x\nCrawl-delay: 2.5",
+        2500,
+    ),
+    (
+        "delay_star_fallback",
+        "User-agent: otherbot\nCrawl-delay: 1\n\nUser-agent: *\nCrawl-delay: 4",
+        4000,
+    ),
+    (
+        "delay_absent_in_selected_group",
+        "User-agent: otherbot\nCrawl-delay: 7\n\nUser-agent: focused-crawler\nDisallow: /x",
+        None,
+    ),
+    (
+        "delay_max_merged_across_selected_groups",
+        "User-agent: focused-crawler\nCrawl-delay: 1.5\n\n"
+        "User-agent: focused-crawler\nCrawl-delay: 3",
+        3000,
+    ),
+    (
+        "delay_closes_a_ua_run",
+        # the Crawl-delay after abot closes its run, so focused-crawler
+        # starts a NEW group whose delay is the one that applies
+        "User-agent: abot\nCrawl-delay: 60\nUser-agent: focused-crawler\n"
+        "Crawl-delay: 2\nDisallow: /y",
+        2000,
+    ),
+    ("delay_no_groups_at_all", "Crawl-delay: 5\nDisallow: /x", None),
+]
+
+
+@pytest.mark.parametrize(
+    "name,content,want", DELAY_GOLDEN, ids=[g[0] for g in DELAY_GOLDEN]
+)
+def test_parse_crawl_delay_py_golden(name, content, want):
+    from storm_focused_crawler_spark.operators.robots import parse_crawl_delay_py
+
+    assert parse_crawl_delay_py(content, "focused-crawler") == want
+
+
+def test_relational_crawl_delays_match_python_twin(spark):
+    from storm_focused_crawler_spark.operators.robots import (
+        parse_crawl_delay_py,
+        parse_crawl_delays,
+    )
+
+    rows = [(g[0], g[1]) for g in DELAY_GOLDEN]
+    df = spark.createDataFrame(rows, "host string, content string")
+    got = {r["host"]: r["delay_ms"]
+           for r in parse_crawl_delays(df, "focused-crawler").collect()}
+    for name, content, want in DELAY_GOLDEN:
+        assert got.get(name) == want, name
+
+
+def test_crawl_parity_with_robots_crawl_delay(spark, tmp_path):
+    """Raw robots bodies carrying a BINDING Crawl-delay: the engine
+    merges it into the dequeue's interval cap; the oracle loads the
+    identical intervals via load_intervals(+parse_crawl_delay_py) —
+    ordering and seen parity over 3 rounds, and at least one host is
+    actually capped below its budget by the robots-declared delay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from storm_focused_crawler_spark import driver as drv
+    from storm_focused_crawler_spark.fixtures import gen_pages
+    from storm_focused_crawler_spark.oracle import seqcrawler as sq
+
+    paths = gen_pages.ensure("/root/testdata/sf0.001")
+    legacy = pq.read_table(paths["robots"])
+    hosts = legacy.column("host").to_pylist()
+    prefixes = legacy.column("disallow_prefix").to_pylist()
+    # 25s delay → cap ceil(60s/25s)=3 < budget for budget-4/5 hosts
+    contents = [
+        "User-agent: NoSuchBot\nDisallow: /\n\n"
+        f"User-agent: Focused-Crawler\nDisallow: {p}\nCrawl-delay: 25\n"
+        for p in prefixes
+    ]
+    raw_path = str(tmp_path / "robots_delay.parquet")
+    pq.write_table(
+        pa.table({"host": pa.array(hosts, pa.string()),
+                  "content": pa.array(contents, pa.string())}),
+        raw_path,
+    )
+    raw_paths = dict(paths, robots=raw_path)
+    cfg = drv.CrawlConfig(
+        rounds=3, capacity=64, keywords=tuple(gen_pages.topic_keywords())
+    )
+    wd = str(tmp_path / "wd_delay")
+    shutil.rmtree(wd, ignore_errors=True)
+    store = drv.run_crawl(spark, raw_paths, cfg, wd)
+
+    pages, seeds, robots, budgets = sq.load_fixture_inputs(
+        raw_paths, user_agent=cfg.user_agent
+    )
+    intervals = sq.load_intervals(raw_paths, user_agent=cfg.user_agent)
+    assert intervals and all(v == 25_000 for v in intervals.values())
+    assert any(
+        budgets.get(h, 2) > 3 for h in intervals
+    ), "no robots-delayed host has budget > cap — fixture too weak"
+    res = sq.crawl(
+        pages, seeds, robots, budgets,
+        sq.CrawlConfig(rounds=3, capacity=64,
+                       keywords=tuple(gen_pages.topic_keywords())),
+        intervals=intervals,
+    )
+    got = []
+    for r in range(cfg.rounds):
+        got += sorted(
+            (x["round"], x["seq"], x["url"])
+            for x in store.read(spark, r, "ordering").collect()
+        )
+    assert got == sorted(res.ordering)
+    got_seen = {
+        x["url_hash"]
+        for x in store.read_union(spark, cfg.rounds - 1, "seen").collect()
+    }
+    assert got_seen == res.seen_hashes
+
+
+def test_parse_crawl_delay_registry_op(spark):
+    """Registry op: every synthetic robot body carries Crawl-delay 2.5
+    inside the real group → 2500 ms for all 7 robot ids."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["parse_crawl_delay"](spark, "/root/testdata/sf0.001").collect()
+    assert {int(r["robot_id"]) for r in rows} == set(range(7))
+    assert all(r["delay_ms"] == 2500 for r in rows)
