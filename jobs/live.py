@@ -46,6 +46,15 @@ def parse_args(argv=None):
     ap.add_argument("--n-shards", type=int, default=32,
                     help="seen-state shards (state size per group = |seen|/shards)")
     ap.add_argument("--keywords", default=None, help="comma-separated topic keywords")
+    ap.add_argument("--robots", default=None,
+                    help="robots parquet: (host, prefix, allow) rules, legacy "
+                         "(host, disallow_prefix), or raw (host, content) bodies "
+                         "(parsed with RFC 9309 group selection for --user-agent)")
+    ap.add_argument("--user-agent", default="focused-crawler")
+    ap.add_argument("--min-interval-ms", type=int, default=0,
+                    help="per-host crawl-delay: at most ceil(round-ms/interval) "
+                         "fetches per host per generation")
+    ap.add_argument("--round-ms", type=int, default=60_000)
     return ap.parse_args(argv)
 
 
@@ -79,11 +88,14 @@ def main(argv=None) -> int:
         )
 
     corpus = spark.read.parquet(pages)
+    robots = spark.read.parquet(args.robots) if args.robots else None
     t0 = time.time()
     for _ in range(args.generations):
         live.live_crawl_generation(
             spark, corpus, frontier_dir, args.workdir, kw,
             budget_per_host=args.budget_per_host, n_shards=args.n_shards,
+            robots=robots, user_agent=args.user_agent,
+            min_interval_ms=args.min_interval_ms, round_ms=args.round_ms,
         )
     results_dir = os.path.join(args.workdir, "results")
     n = n_urls = 0

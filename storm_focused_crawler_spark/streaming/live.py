@@ -340,6 +340,10 @@ def live_crawl_generation(
     keywords: list[str],
     budget_per_host: int = 4,
     n_shards: int = N_SHARDS_DEFAULT,
+    robots: DataFrame | None = None,
+    user_agent: str = "focused-crawler",
+    min_interval_ms: int = 0,
+    round_ms: int = 60_000,
 ) -> None:
     """Run ONE generation of the continuous crawl over whatever URL
     files have accumulated in *frontier_dir* since the last call.
@@ -379,8 +383,30 @@ def live_crawl_generation(
     results_dir = os.path.join(workdir, "results")
     fetch_batch = make_fetch_batch(corpus, keywords, results_dir, frontier_dir)
 
+    stream = _frontier_stream(spark, frontier_dir)
+    if robots is not None:
+        # REP politeness on the STREAM, before the seen filter — a
+        # robots-blocked url never enters the seen state (the batch
+        # engine's §2.1 semantics: blocked entries are dropped, not
+        # marked seen, so a later policy change can admit them) and
+        # never consumes politeness budget.  Raw (host, content) bodies
+        # get RFC 9309 group selection exactly like the batch driver.
+        from storm_focused_crawler_spark.functions.udfs import host_col, path_col
+        from storm_focused_crawler_spark.operators.robots import (
+            parse_robots,
+            rep_filter,
+        )
+
+        if "content" in robots.columns:
+            robots = parse_robots(robots, user_agent)
+        stream = rep_filter(
+            stream.withColumn("host", host_col(F.col("url"))),
+            robots,
+            path_col(F.col("url")),
+        ).drop("host")
+
     q1 = (
-        seen_filter_stream(_frontier_stream(spark, frontier_dir), n_shards)
+        seen_filter_stream(stream, n_shards)
         .writeStream.format("parquet")
         .option("path", unseen_dir)
         .option("checkpointLocation", os.path.join(workdir, "ckpt_seen"))
@@ -403,7 +429,9 @@ def live_crawl_generation(
         .parquet(unseen_dir)
     )
     q2 = (
-        politeness_limit_stream(unseen.select("url"), budget_per_host)
+        politeness_limit_stream(unseen.select("url"), budget_per_host,
+                                min_interval_ms=min_interval_ms,
+                                round_ms=round_ms)
         .writeStream.foreachBatch(fetch_batch)
         .option("checkpointLocation", os.path.join(workdir, "ckpt_fetch"))
         .trigger(availableNow=True)

@@ -203,3 +203,63 @@ def test_fetch_batch_replay_is_idempotent(spark, fixture_paths, tmp_path):
     fetch_batch(batch_df.limit(2), 8)
     n = spark.read.parquet(results_dir).count()
     assert n == len(once) + 2
+
+
+def test_live_crawl_respects_robots(spark, fixture_paths, tmp_path):
+    """The continuous topology enforces REP like the batch engine:
+    robots-blocked urls are never fetched, never consume politeness
+    budget, and are NOT marked seen (filtered before the seen state, so
+    a later policy change could admit them)."""
+    corpus = spark.read.parquet(fixture_paths["pages"])
+    frontier_dir = str(tmp_path / "rb_frontier")
+    workdir = str(tmp_path / "rb_wd")
+    with open(fixture_paths["seeds"]) as f:
+        seeds = sorted({spec.canon(u) for u in json.load(f)})
+    spark.createDataFrame([(u,) for u in seeds], "url string").write.parquet(
+        frontier_dir
+    )
+    kw = list(gen_pages.topic_keywords())
+
+    # raw robots bodies: block every /d-prefixed path (all fixture
+    # paths are /d<id>/p<j>) on half the seed hosts, decoy group on top
+    hosts = sorted({u.split("://", 1)[1].partition("/")[0] for u in seeds})
+    blocked_hosts = set(hosts[::2])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    robots_path = str(tmp_path / "rb_robots.parquet")
+    pq.write_table(
+        pa.table({
+            "host": pa.array(sorted(blocked_hosts), pa.string()),
+            "content": pa.array(
+                ["User-agent: NoSuchBot\nAllow: /\n\n"
+                 "User-agent: Focused-Crawler\nDisallow: /d"
+                 ] * len(blocked_hosts), pa.string()),
+        }),
+        robots_path,
+    )
+    robots = spark.read.parquet(robots_path)
+
+    for _ in range(2):
+        live.live_crawl_generation(
+            spark, corpus, frontier_dir, workdir, kw,
+            budget_per_host=BUDGET, n_shards=N_SHARDS,
+            robots=robots, user_agent="focused-crawler",
+        )
+    rows = _results(spark, workdir).collect()
+    assert rows
+    got_hosts = {r["url"].split("://", 1)[1].partition("/")[0] for r in rows}
+    assert not (got_hosts & blocked_hosts), got_hosts & blocked_hosts
+    # blocked urls are NOT in the seen state: the unseen/ dir (Q1's
+    # output = everything admitted into seen) contains no blocked host
+    import os
+
+    unseen = spark.read.parquet(os.path.join(workdir, "unseen")).collect()
+    unseen_hosts = {r["url"].split("://", 1)[1].partition("/")[0] for r in unseen}
+    assert not (unseen_hosts & blocked_hosts)
+    # and budgets still hold on the allowed hosts
+    per_host: dict[str, int] = {}
+    for r in rows:
+        h = r["url"].split("://", 1)[1].partition("/")[0]
+        per_host[h] = per_host.get(h, 0) + 1
+    assert all(n <= BUDGET for n in per_host.values()), per_host
