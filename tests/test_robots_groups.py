@@ -335,3 +335,76 @@ def test_parse_crawl_delay_registry_op(spark):
     rows = e.queries()["parse_crawl_delay"](spark, "/root/testdata/sf0.001").collect()
     assert {int(r["robot_id"]) for r in rows} == set(range(7))
     assert all(r["delay_ms"] == 2500 for r in rows)
+
+
+def test_crawl_delay_applies_to_host_missing_from_budget_table(spark, tmp_path):
+    """The robots-delay merge is a FULL outer join: a host that appears
+    only via its robots Crawl-delay (absent from host_budget) still
+    gets the interval cap, with its budget defaulting — parity with the
+    oracle, which merges intervals independently of budget membership."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from storm_focused_crawler_spark import driver as drv
+    from storm_focused_crawler_spark.fixtures import gen_pages
+    from storm_focused_crawler_spark.oracle import seqcrawler as sq
+
+    paths = gen_pages.ensure("/root/testdata/sf0.001")
+    hb = pq.read_table(paths["host_budget"])
+    hosts = hb.column("host").to_pylist()
+    budgets_l = hb.column("budget").to_pylist()
+    dropped = set(hosts[::3])  # these become budget-less delay hosts
+    keep = [(h, b) for h, b in zip(hosts, budgets_l) if h not in dropped]
+    hb_path = str(tmp_path / "hb_missing.parquet")
+    pq.write_table(
+        pa.table({"host": pa.array([h for h, _ in keep], pa.string()),
+                  "budget": pa.array([b for _, b in keep], pa.int32())}),
+        hb_path,
+    )
+    robots_path = str(tmp_path / "rb_delay_only.parquet")
+    pq.write_table(
+        pa.table({
+            "host": pa.array(sorted(dropped), pa.string()),
+            "content": pa.array(
+                ["User-agent: *\nCrawl-delay: 45\n"] * len(dropped), pa.string()
+            ),
+        }),
+        robots_path,
+    )
+    raw_paths = dict(paths, host_budget=hb_path, robots=robots_path)
+    cfg = drv.CrawlConfig(
+        rounds=2, capacity=64, keywords=tuple(gen_pages.topic_keywords())
+    )
+    wd = str(tmp_path / "wd_missing")
+    shutil.rmtree(wd, ignore_errors=True)
+    store = drv.run_crawl(spark, raw_paths, cfg, wd)
+
+    pages, seeds, robots, budgets = sq.load_fixture_inputs(
+        raw_paths, user_agent=cfg.user_agent
+    )
+    intervals = sq.load_intervals(raw_paths, user_agent=cfg.user_agent)
+    assert set(intervals) == dropped and all(v == 45_000 for v in intervals.values())
+    res = sq.crawl(
+        pages, seeds, robots, budgets,
+        sq.CrawlConfig(rounds=2, capacity=64,
+                       keywords=tuple(gen_pages.topic_keywords())),
+        intervals=intervals,
+    )
+    got = []
+    for r in range(cfg.rounds):
+        got += sorted(
+            (x["round"], x["seq"], x["url"])
+            for x in store.read(spark, r, "ordering").collect()
+        )
+    assert got == sorted(res.ordering)
+    # the cap actually binds somewhere: 45s in a 60s round → 2 max;
+    # a dropped host defaults to budget 2, so assert <= 2 per round
+    from collections import Counter
+
+    for r in range(cfg.rounds):
+        per = Counter(
+            x["url"].split("://", 1)[1].partition("/")[0]
+            for x in store.read(spark, r, "ordering").collect()
+        )
+        for h in dropped & set(per):
+            assert per[h] <= 2, (h, per[h])
