@@ -408,3 +408,88 @@ def test_crawl_delay_applies_to_host_missing_from_budget_table(spark, tmp_path):
         )
         for h in dropped & set(per):
             assert per[h] <= 2, (h, per[h])
+
+
+# ---------------------------------------------------------------------------
+# fuzz: relational parse == python twin on randomized bodies
+# ---------------------------------------------------------------------------
+
+
+def _random_bodies(n=80, lines_max=14, seed=7):
+    """Deterministic random robots.txt bodies mixing every line class
+    the grammar distinguishes (UA runs, rules, delays, empty values,
+    comments, unknown directives, garbage, mixed case, no-space)."""
+    import random
+
+    rng = random.Random(seed)
+    uas = ["focused-crawler", "FOCUSED-Crawler", "otherbot", "*", "x-bot", "a b"]
+    prefixes = ["", "/", "/a", "/a/b", "/private", "/p q"]
+    delays = ["1", "2.5", "0", "10.0", "nope"]
+    other = ["", "# comment", "Sitemap: http://x/s.xml", "garbage",
+             "  Disallow: /indented", "User-agent:", "Crawl-delay:"]
+
+    def line():
+        k = rng.randrange(5)
+        if k == 0:
+            return f"User-agent:{rng.choice([' ', ''])}{rng.choice(uas)}"
+        if k == 1:
+            return f"{rng.choice(['Disallow', 'disallow', 'DISALLOW'])}:" \
+                   f"{rng.choice([' ', ''])}{rng.choice(prefixes)}"
+        if k == 2:
+            return f"{rng.choice(['Allow', 'allow'])}:{rng.choice([' ', ''])}" \
+                   f"{rng.choice(prefixes)}"
+        if k == 3:
+            return f"Crawl-delay:{rng.choice([' ', ''])}{rng.choice(delays)}"
+        return rng.choice(other)
+
+    return [
+        "\n".join(line() for _ in range(rng.randrange(lines_max)))
+        for _ in range(n)
+    ]
+
+
+def test_fuzz_relational_parse_matches_python_twin(spark):
+    """80 randomized bodies, ONE Spark job per parser: the relational
+    rules and delays must equal the python twins' on every body — the
+    three-implementation lockstep (Spark / python / DuckDB share the
+    grammar) holds beyond the hand-written goldens."""
+    from storm_focused_crawler_spark.operators.robots import (
+        parse_crawl_delay_py,
+        parse_crawl_delays,
+    )
+
+    bodies = _random_bodies()
+    rows = [(f"h{i:03d}", b) for i, b in enumerate(bodies)]
+    df = spark.createDataFrame(rows, "host string, content string")
+
+    got_rules: dict[str, set] = {}
+    for r in parse_robots(df, "focused-crawler").collect():
+        got_rules.setdefault(r["host"], set()).add((r["prefix"], r["allow"]))
+    got_delays = {
+        r["host"]: r["delay_ms"]
+        for r in parse_crawl_delays(df, "focused-crawler").collect()
+    }
+    for h, body in rows:
+        want_rules = set(parse_robots_py(body, "focused-crawler"))
+        assert got_rules.get(h, set()) == want_rules, (h, body)
+        want_delay = parse_crawl_delay_py(body, "focused-crawler")
+        assert got_delays.get(h) == want_delay, (h, body)
+
+
+def test_parser_total_on_arbitrary_text():
+    """The python twin is total: any text in, no crash, list out —
+    hypothesis-driven over arbitrary unicode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from storm_focused_crawler_spark.operators.robots import parse_crawl_delay_py
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300), st.text(min_size=1, max_size=20))
+    def check(content, agent):
+        out = parse_robots_py(content, agent)
+        assert isinstance(out, list)
+        d = parse_crawl_delay_py(content, agent)
+        assert d is None or (isinstance(d, int) and d >= 0)
+
+    check()
