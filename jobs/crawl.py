@@ -71,6 +71,11 @@ def parse_args(argv=None):
                          "next crawl run fetches them again")
     ap.add_argument("--recrawl-score", type=float, default=0.0,
                     help="priority for the re-enqueued urls")
+    ap.add_argument("--recrawl-age", type=int, default=None, metavar="ROUNDS",
+                    help="maintenance mode: age-based refresh — evict every "
+                         "url whose last fetch is >= ROUNDS rounds behind the "
+                         "latest committed round (instead of an explicit "
+                         "--recrawl victims file)")
     return ap.parse_args(argv)
 
 
@@ -112,22 +117,26 @@ def main(argv=None) -> int:
                       nb_target_topic=args.nb_target_topic,
                       user_agent=args.user_agent)
     t0 = time.time()
-    if args.recrawl:
+    if args.recrawl or args.recrawl_age is not None:
         import os
 
-        from storm_focused_crawler_spark.driver import recrawl
+        from storm_focused_crawler_spark.driver import recrawl, refresh_victims
         from storm_focused_crawler_spark.sources.storage import ParquetSnapshotStore
 
-        with open(args.recrawl) as f:
-            body = f.read()
-        try:
-            victims = json.loads(body)
-        except json.JSONDecodeError:
-            victims = [ln.strip() for ln in body.splitlines() if ln.strip()]
         store = ParquetSnapshotStore(os.path.join(args.workdir, "state"))
-        vdf = spark.createDataFrame([(u,) for u in victims], "url string")
+        if args.recrawl:
+            with open(args.recrawl) as f:
+                body = f.read()
+            try:
+                victims = json.loads(body)
+            except json.JSONDecodeError:
+                victims = [ln.strip() for ln in body.splitlines() if ln.strip()]
+            vdf = spark.createDataFrame([(u,) for u in victims], "url string")
+        else:
+            vdf = refresh_victims(spark, store, args.recrawl_age)
+        n_victims = vdf.count()
         mnt = recrawl(spark, store, cfg, vdf, rescore=args.recrawl_score)
-        print(json.dumps({"maintenance_round": mnt, "victims": len(victims),
+        print(json.dumps({"maintenance_round": mnt, "victims": n_victims,
                           "wall_sec": round(time.time() - t0, 2)}))
         spark.stop()
         return 0

@@ -564,8 +564,34 @@ def run_crawl(
 
 
 # --------------------------------------------------------------------------
-# recrawl maintenance commit (makes cuckoo deletion load-bearing)
+# refresh policy + recrawl maintenance commit (cuckoo deletion load-bearing)
 # --------------------------------------------------------------------------
+
+
+def refresh_victims(
+    spark: SparkSession, store: ParquetSnapshotStore, max_age_rounds: int
+) -> DataFrame:
+    """Age-based refresh policy ([R] UpdaterBolt tracked page status;
+    a long-running crawl re-fetches stale pages): urls whose LAST
+    successful fetch is ≥ *max_age_rounds* rounds behind the latest
+    committed round — the df feeds :func:`recrawl` unchanged.
+
+    One multi-path scan of the per-round ``results`` tables + one hash
+    agg (max round per url): O(results) once per maintenance commit,
+    no driver-side iteration.  Deterministic: a pure function of
+    committed state, so the sequential oracle derives the identical
+    victim set from its own results history (test_recrawl.py)."""
+    last = store.latest_round()
+    if last is None:
+        raise ValueError("refresh needs at least one committed round")
+    res = store.read_union(spark, last, "results").select("url", "round")
+    cutoff = last - max_age_rounds
+    return (
+        res.groupBy("url")
+        .agg(F.max("round").alias("last_round"))
+        .filter(F.col("last_round") <= cutoff)
+        .select("url")
+    )
 
 
 def recrawl(

@@ -199,6 +199,19 @@ def crawl_rounds(
     return res
 
 
+def refresh_victims(
+    res: CrawlResult, last_round: int, max_age_rounds: int
+) -> list[str]:
+    """Age-based refresh twin of ``driver.refresh_victims``: urls whose
+    LAST result row is ≥ *max_age_rounds* rounds behind *last_round*
+    (the latest committed round), sorted for determinism."""
+    last_fetch: dict[str, int] = {}
+    for t in res.results:  # (round, seq, url, score, text, lang, n_links)
+        last_fetch[t[2]] = max(last_fetch.get(t[2], -1), t[0])
+    cutoff = last_round - max_age_rounds
+    return sorted(u for u, r in last_fetch.items() if r <= cutoff)
+
+
 def recrawl(
     res: CrawlResult, victims: list[str], mnt_round: int, rescore: float = 0.0
 ) -> None:

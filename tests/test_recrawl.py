@@ -232,3 +232,51 @@ def test_recrawl_post_maintenance_round_exact_parity(
         assert vals[0] == want_results[url][0], f"score mismatch {url}"
         assert vals[1].encode() == want_results[url][1].encode(), f"text {url}"
         assert vals[2:] == want_results[url][2:]
+
+
+def test_refresh_victims_age_policy(spark, fixture_paths, tmp_path):
+    """Age-based refresh (driver.refresh_victims / CLI --recrawl-age):
+    the victim set — urls whose last fetch is >= max_age rounds behind
+    the latest round — equals the oracle twin's, feeds recrawl, and the
+    post-maintenance round refetches the stale urls with full oracle
+    parity (ordering + seen)."""
+    from storm_focused_crawler_spark.fixtures import gen_pages as gp
+    from storm_focused_crawler_spark.oracle import seqcrawler as sq
+
+    wd = str(tmp_path / "refresh_age")
+    shutil.rmtree(wd, ignore_errors=True)
+    rounds = 4
+    cfg = _cfg(rounds=rounds)
+    store = drv.run_crawl(spark, fixture_paths, cfg, wd)
+
+    age = 2
+    vdf = drv.refresh_victims(spark, store, max_age_rounds=age)
+    got_victims = sorted(r["url"] for r in vdf.collect())
+
+    pages, seeds, robots, budgets = sq.load_fixture_inputs(fixture_paths)
+    ocfg = sq.CrawlConfig(rounds=rounds, capacity=CAPACITY,
+                          keywords=tuple(gp.topic_keywords()))
+    res = sq.crawl(pages, seeds, robots, budgets, ocfg)
+    want_victims = sq.refresh_victims(res, rounds - 1, age)
+    assert got_victims == want_victims
+    assert got_victims, "no stale urls after 4 rounds — fixture too small"
+    # urls fetched in the last `age` rounds are NOT victims
+    recent = {t[2] for t in res.results if t[0] > rounds - 1 - age}
+    assert not (set(got_victims) & recent)
+
+    # maintenance + one more round: exact parity of the refetch round
+    mnt = drv.recrawl(spark, store, cfg, vdf, rescore=2.0)
+    store = drv.run_crawl(spark, fixture_paths, _cfg(rounds=rounds + 2), wd)
+    nxt = mnt + 1
+    corpus = sq.latest_captures(pages)
+    sq.recrawl(res, want_victims, mnt_round=mnt, rescore=2.0)
+    sq.crawl_rounds(res, corpus, seeds, robots, budgets, ocfg, nxt, nxt + 1)
+    got_ordering = sorted(
+        (x["round"], x["seq"], x["url"])
+        for x in store.read(spark, nxt, "ordering").collect()
+    )
+    assert got_ordering == sorted(t for t in res.ordering if t[0] == nxt)
+    got_seen = {
+        x["url_hash"] for x in store.read_union(spark, nxt, "seen").collect()
+    }
+    assert got_seen == res.seen_hashes
