@@ -73,15 +73,18 @@ def _host(url: str) -> str:
 
 
 def _blocked(url: str, robots: dict[str, list[tuple[str, bool]]]) -> bool:
-    """REP verdict (RFC 9309 §2.2.2): longest matching prefix wins,
-    Allow wins a length tie, no match ⇒ allowed — the exact twin of
-    operators/robots.rep_allowed."""
+    """REP verdict (RFC 9309 §2.2.2 + §2.2.3): the matching rule with
+    the most octets in its raw text wins (``*``/``$`` metacharacters
+    included in the count), Allow wins a length tie, no match ⇒
+    allowed — the exact twin of operators/robots.rep_allowed."""
+    from storm_focused_crawler_spark.operators.robots import rep_match_py
+
     rest = url.split("://", 1)[1]
     host, _, path = rest.partition("/")
     path = "/" + path
     best: tuple[int, bool] | None = None
     for prefix, allow in robots.get(host, ()):
-        if prefix and path.startswith(prefix):
+        if prefix and rep_match_py(prefix, path):
             cand = (len(prefix), allow)
             if best is None or cand > best:
                 best = cand

@@ -628,7 +628,9 @@ def parse_crawl_delay(spark, sf_dir):
 # host → REP rules exercising every precedence branch over the derived
 # URL universe (paths are '/d<doc_id>/p<doc_id%7>'): longer-Allow
 # overrides Disallow, longer-Disallow overrides Allow, same-length tie
-# goes to Allow, unmatched hosts/paths stay allowed.
+# goes to Allow, unmatched hosts/paths stay allowed, and §2.2.3
+# metacharacters — mid-pattern '*', trailing '$', leading '*', and a
+# wildcard-vs-wildcard length tie — all bind on real rows.
 _REP_RULES_ROWS = [
     ("h001.example-org", "/d", False),
     ("h001.example-org", "/d1", True),     # longer allow wins for /d1*
@@ -639,10 +641,35 @@ _REP_RULES_ROWS = [
     ("h004.example-org", "/x", False),     # never matches
     ("h005.example-net", "/d5", False),
     ("h005.example-net", "/d5", True),     # same-length tie → allow
+    ("h006.example-com", "/d*", False),    # wildcard block-all …
+    ("h006.example-com", "/d*/p1$", True),  # … longer '*'+'$' allow wins
+    ("h007.example-org", "/*6*", False),   # double mid-pattern '*'
+    ("h009.example-com", "*p2$", False),   # leading '*' + end anchor
+    ("h011.example-net", "/d1*", True),    # len-4 tie vs the next rule:
+    ("h011.example-net", "/d*1", False),   # both match ⇒ Allow wins
 ]
+
+
+def _rep_rule_rx(pattern: str) -> str:
+    """Translate one REP rule to the RE2 regex the DuckDB oracle
+    evaluates — an INDEPENDENT implementation of RFC 9309 §2.2.3
+    (start-anchored; '*' → '.*'; one trailing '$' → end anchor;
+    everything else literal), so the oracle's regex engine checks the
+    engine's locate-fold matcher rather than mirroring it."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if c == "*" else _re.escape(c) for c in body)
+    return "^" + rx + ("$" if anchored else "")
+
+
 _REP_RULES_CTE = (
-    "rep_rules(host, prefix, allow) AS (VALUES "
-    + ", ".join(f"('{h}', '{p}', {str(a).upper()})" for h, p, a in _REP_RULES_ROWS)
+    "rep_rules(host, prefix, allow, rx) AS (VALUES "
+    + ", ".join(
+        f"('{h}', '{p}', {str(a).upper()}, '{_rep_rule_rx(p)}')"
+        for h, p, a in _REP_RULES_ROWS
+    )
     + ")"
 )
 
@@ -657,15 +684,16 @@ _REP_RULES_CTE = (
                                 ORDER BY len(r.prefix) DESC,
                                          CAST(r.allow AS INT) DESC) AS rn
       FROM urls u JOIN rep_rules r
-        ON u.host = r.host AND starts_with(u.path, r.prefix))
+        ON u.host = r.host AND regexp_matches(u.path, r.rx))
     SELECT u.url FROM urls u
     LEFT JOIN (SELECT url, allow FROM m WHERE rn = 1) b ON u.url = b.url
     WHERE b.url IS NULL OR b.allow""",
 )
 def filter_robots_rep(spark, sf_dir):
-    """Full-REP politeness filter (RFC 9309 longest-match + Allow):
-    the broadcast rule-array fold of operators/robots.py vs a DuckDB
-    window-ranked longest-match — same verdict set."""
+    """Full-REP politeness filter (RFC 9309 §2.2.2 most-octets
+    precedence + Allow tie-break over §2.2.3 '*'/'$' patterns): the
+    broadcast rule-array locate-fold of operators/robots.py vs a
+    DuckDB window-ranked regex match — same verdict set."""
     from storm_focused_crawler_spark.operators.robots import rep_filter
 
     u = _urls(spark, sf_dir)

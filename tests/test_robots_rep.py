@@ -32,6 +32,35 @@ GOLDEN = [
     # three-deep alternation
     ([("/a", False), ("/a/b", True), ("/a/b/c", False)], "/a/b/c/d", False),
     ([("/a", False), ("/a/b", True), ("/a/b/c", False)], "/a/b/z", True),
+    # --- RFC 9309 §2.2.3 metacharacters (VERDICT r04 'Next round' #1) ---
+    # trailing-extension block: /*.pdf$ only hits paths ENDING .pdf
+    ([("/*.pdf$", False)], "/docs/a.pdf", False),
+    ([("/*.pdf$", False)], "/docs/a.pdfx", True),
+    ([("/*.pdf$", False)], "/docs/a.pdf/more", True),
+    # mid-pattern '*' spans any octets, including '/'
+    ([("/private*/", False)], "/private2024/x", False),
+    ([("/private*/", False)], "/private", True),          # no trailing '/'
+    ([("/a*b*c", False)], "/aXbY/c-more", False),
+    ([("/a*b*c", False)], "/aXc", True),                  # 'b' never occurs
+    # '$' anchors: exact-path rule vs longer real path
+    ([("/a$", False)], "/a", False),
+    ([("/a$", False)], "/ab", True),
+    # leading '*': suffix-style rule
+    ([("*p2$", False)], "/d9/p2", False),
+    ([("*p2$", False)], "/d9/p2/x", True),
+    # '$' mid-pattern is a LITERAL octet, not an anchor
+    ([("/a$b", False)], "/a$b/c", False),
+    ([("/a$b", False)], "/ab", True),
+    # precedence counts raw octets incl. metacharacters: '/d*/p1$' (7)
+    # beats '/d*' (3) where both match
+    ([("/d*", False), ("/d*/p1$", True)], "/d42/p1", True),
+    ([("/d*", False), ("/d*/p1$", True)], "/d42/p2", False),
+    # wildcard-vs-wildcard length tie → Allow wins
+    ([("/d1*", True), ("/d*1", False)], "/d11/p4", True),
+    ([("/d1*", True), ("/d*1", False)], "/d251/p6", False),  # only Disallow matches
+    # consecutive '**' collapses; bare '*' matches everything
+    ([("/d**1", False)], "/d/x1", False),
+    ([("*", False)], "/anything", False),
 ]
 
 
@@ -107,3 +136,60 @@ def test_eligible_applies_rep_allow_rules(spark):
     )
     got = sorted(r["url"] for r in eligible(frontier, seen, rules).collect())
     assert got == ["https://h.ex/a/b/ok", "https://other.ex/a/no"]
+
+
+# --------------------------------------------------------------------------
+# §2.2.3 matcher: lockstep fuzz of engine column / python twin / regex
+# --------------------------------------------------------------------------
+
+
+def _re_reference(pattern: str, path: str) -> bool:
+    """Independent §2.2.3 reference via Python's regex engine:
+    start-anchored, '*' → '.*', one trailing '$' → end anchor,
+    everything else literal."""
+    import re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in body)
+    return re.match("^" + rx + ("$" if anchored else ""), path) is not None
+
+
+def test_rep_match_py_fuzz_vs_regex():
+    """rep_match_py's locate-scan == regex semantics on 20k random
+    (pattern, path) pairs over a metacharacter-dense alphabet."""
+    import random
+
+    rng = random.Random(2024)
+    alpha_pat = "ab*$/."
+    alpha_path = "ab/.$"
+    for _ in range(20_000):
+        pat = "".join(rng.choice(alpha_pat) for _ in range(rng.randint(1, 9)))
+        path = "/" + "".join(rng.choice(alpha_path) for _ in range(rng.randint(0, 12)))
+        assert RB.rep_match_py(pat, path) == _re_reference(pat, path), (pat, path)
+
+
+def test_rep_match_col_fuzz_vs_python_twin(spark):
+    """The JVM locate-fold column == rep_match_py on 3k random pairs
+    (one Spark job, all comparisons row-wise)."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    for _ in range(3_000):
+        pat = "".join(rng.choice("ab*$/.") for _ in range(rng.randint(1, 9)))
+        path = "/" + "".join(rng.choice("ab/.$") for _ in range(rng.randint(0, 12)))
+        cases.append((pat, path))
+    cases += [
+        ("/*.pdf$", "/a/b.pdf"), ("/*.pdf$", "/a/b.pdfx"), ("/a*b*c$", "/aXbYc"),
+        ("*p2$", "/d9/p2"), ("/d**1", "/d/x1"), ("$", "/"), ("*", "/x"),
+        ("/a$b", "/a$b/c"), ("/a$", "/a"), ("/a$", "/ab"),
+    ]
+    df = spark.createDataFrame(cases, "pat string, path string")
+    got = df.select(
+        "pat", "path", RB.rep_match_col(F.col("path"), F.col("pat")).alias("m")
+    ).collect()
+    for r in got:
+        assert bool(r["m"]) == RB.rep_match_py(r["pat"], r["path"]), (
+            r["pat"], r["path"],
+        )
