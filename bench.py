@@ -37,8 +37,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_cluster_keeper",
     "dedup_embedding_cosine",
+    "dedup_simhash",
     "sim_knn_cosine",
     "sim_knn_ivf",
+    "sim_knn_lsh",
     "text_quality_score",
     "lang_id_trigram",
     "topic_classify_nb",
@@ -174,6 +176,30 @@ def bench_crawl(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _knn_lsh_candidate_stats(spark, sf_dir: str) -> dict:
+    """Derived LSH geometry + measured candidate fraction for the
+    sim_knn_lsh design point (min_cos 0.4, target_recall 0.9, dim 64 —
+    the registry op's parameters)."""
+    from pyspark.sql import functions as F
+
+    from storm_focused_crawler_spark.operators.dedup import lsh_geometry
+    from storm_focused_crawler_spark.operators.similarity import lsh_candidates
+
+    n_bands, planes = lsh_geometry(0.4, 0.9)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    n_emb, n_q = emb.count(), q.count()
+    n_cand = lsh_candidates(emb, q, dim=64, min_cos=0.4, target_recall=0.9).count()
+    denom = max(n_emb * n_q - n_q, 1)  # all-pairs minus self-pairs
+    return {
+        "n_bands": n_bands,
+        "planes_per_band": planes,
+        "candidates": n_cand,
+        "all_pairs": denom,
+        "candidate_fraction": round(n_cand / denom, 4),
+    }
+
+
 def run_bench(spark, sf_dir: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -186,6 +212,11 @@ def run_bench(spark, sf_dir: str) -> dict:
         t0 = time.time()
         _exec(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+
+    # sim_knn_lsh transparency (VERDICT r04 #3): the derived geometry
+    # plus the MEASURED candidate fraction at this SF, so a regression
+    # in the multi-band path shows up as numbers, not vibes
+    knn_geo = _knn_lsh_candidate_stats(spark, sf_dir)
 
     crawl = bench_crawl(spark, sf_dir)
     timings["crawl_e2e"] = round(crawl["wall_sec"], 3)
@@ -221,6 +252,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         "crawl_stage_sec": crawl["stage_sec"],
         "crawl_round_wall": crawl["round_wall"],
         "frontier_urls_per_sec": round(n_frontier / frontier_sec, 1),
+        "knn_lsh": knn_geo,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
 

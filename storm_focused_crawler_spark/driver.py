@@ -148,6 +148,7 @@ def run_round(
     compact: bool = False,
     url_expansions: DataFrame | None = None,
     host_ranks: DataFrame | None = None,
+    host_carry: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}.
 
@@ -187,9 +188,9 @@ def run_round(
             .drop("rank_i")
         )
     deq = dequeue(elig, host_budget, cfg.capacity, cfg.n_salts, cfg.max_budget,
-                  round_ms=cfg.round_ms)
+                  round_ms=cfg.round_ms, host_carry=host_carry)
     deq = (
-        deq.select("url", "url_hash", "score", "depth", "seq")
+        deq.select("url", "url_hash", "score", "depth", "seq", "host", "sched_ms")
         .observe(obs["dequeued"], F.count(F.lit(1)).alias("rows"))
         .persist()
     )
@@ -322,12 +323,33 @@ def run_round(
     out_tables = {
         "ordering": ordering,
         "results": results,
+    }
+    if "min_interval_ms" in host_budget.columns:
+        # cross-round politeness clock ([R] fetcher wall-clock spacing;
+        # VERDICT r04 #2): per delayed host, the absolute ms of its last
+        # fetch this round (round start + max sched_ms).  Dim-sized —
+        # ≤ one row per delayed host that was dequeued (≤ capacity).
+        # run_crawl merges this delta into the checkpointed full
+        # ``host_sched`` snapshot and derives next round's carry.
+        delayed = host_budget.filter(
+            F.col("min_interval_ms").isNotNull() & (F.col("min_interval_ms") > 0)
+        ).select("host")
+        out_tables["host_sched"] = (
+            deq.join(F.broadcast(delayed), "host", "inner")
+            .groupBy("host")
+            .agg(
+                (F.lit(rnd * cfg.round_ms).cast("long") + F.max("sched_ms")).alias(
+                    "last_abs_ms"
+                )
+            )
+        )
+    out_tables.update({
         "frontier": frontier_next,
         "seen": seen_delta,
         "metrics": metrics,
         "_persisted": [deq, ex, links, frontier_next],  # caller unpersists after commit
         "_observations": obs,  # stage → Observation; read AFTER the writes ran
-    }
+    })
     if cfg.host_rank_weight > 0:
         # per-round edge DELTA off the cached links (append-only like
         # `seen`; next round's pagerank reads read_union('host_edges'))
@@ -397,6 +419,14 @@ def run_crawl(
             .withColumn("min_interval_ms", F.when(eff > 0, eff).cast("int"))
             .drop("_robots_delay_ms")
         )
+    has_interval = "min_interval_ms" in host_budget.columns
+    delayed_hosts = (
+        host_budget.filter(
+            F.col("min_interval_ms").isNotNull() & (F.col("min_interval_ms") > 0)
+        ).select("host", "min_interval_ms")
+        if has_interval
+        else None
+    )
     if cfg.max_budget is None:
         # never mutate the caller's cfg: a reused CrawlConfig against a
         # different host_budget table would carry a stale literal bound
@@ -473,6 +503,29 @@ def run_crawl(
             if pr_edges is not None:
                 pr_out = graph.pagerank(pr_edges, cfg.host_rank_iters)
                 host_ranks = pr_out.select(F.col("node").alias("host"), "rank_i")
+        # cross-round crawl-delay continuity (VERDICT r04 #2): the
+        # checkpointed host_sched snapshot (host → absolute ms of its
+        # last fetch) becomes this round's carry — the politeness debt
+        # a delayed host starts the round with.  Both tables are
+        # dim-sized; the whole computation broadcasts.
+        prev_sched = host_carry = None
+        if has_interval and rnd > 0:
+            pm = store.manifest(rnd - 1)
+            if "host_sched" in pm["tables"]:
+                prev_sched = store.read(spark, rnd - 1, "host_sched")
+                host_carry = (
+                    prev_sched.join(F.broadcast(delayed_hosts), "host", "inner")
+                    .select(
+                        "host",
+                        F.greatest(
+                            F.lit(0).cast("long"),
+                            F.col("last_abs_ms")
+                            + F.col("min_interval_ms")
+                            - F.lit(rnd * cfg.round_ms).cast("long"),
+                        ).alias("carry_ms"),
+                    )
+                    .filter(F.col("carry_ms") > 0)
+                )
         compact_now = cfg.compact_every > 0 and (rnd + 1) % cfg.compact_every == 0
         out = run_round(
             spark, corpus, frontier, seen, robots, host_budget, cfg, rnd, seed_hashes,
@@ -480,7 +533,16 @@ def run_crawl(
             compact=compact_now,
             url_expansions=url_expansions,
             host_ranks=host_ranks,
+            host_carry=host_carry,
         )
+        if "host_sched" in out and prev_sched is not None:
+            # full snapshot = prior clock ∪ this round's delta, latest
+            # fetch per host — only the newest snapshot is ever read
+            out["host_sched"] = (
+                prev_sched.unionByName(out["host_sched"])
+                .groupBy("host")
+                .agg(F.max("last_abs_ms").alias("last_abs_ms"))
+            )
         if compact_now:
             # compaction applies to EVERY append-only delta table, not
             # just `seen`: a 1000-round crawl otherwise pays an
@@ -557,6 +619,9 @@ def run_crawl(
             # compaction-round cleanup so the state dir holds
             # O(compact_every) of them on a 1000-round crawl
             store.prune_table("bloom", rnd)
+        if compact_now and has_interval:
+            # host_sched is likewise a full snapshot; keep only the latest
+            store.prune_table("host_sched", rnd)
         # cut lineage: next round reads the committed snapshot
         frontier = store.read(spark, rnd, "frontier")
         seen = store.read_union(spark, rnd, "seen")
@@ -662,6 +727,12 @@ def recrawl(
         "frontier": prev_frontier.unionByName(requeued),
         "seen_full": seen_full,
     }
+    prev_m_sched = store.manifest(last)
+    if "host_sched" in prev_m_sched["tables"]:
+        # the continuous politeness clock must survive a maintenance
+        # commit — re-point the latest snapshot so the post-maintenance
+        # round still carries every host's last-fetch offset forward
+        tables["host_sched"] = store.read(spark, last, "host_sched")
 
     amend: dict = {"maintenance": "recrawl"}
     if cfg.use_bloom:

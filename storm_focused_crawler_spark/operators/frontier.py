@@ -80,6 +80,7 @@ def dequeue(
     n_salts: int = 8,
     max_budget: int | None = None,
     round_ms: int = 60_000,
+    host_carry: DataFrame | None = None,
 ) -> DataFrame:
     """§2.1-5: per host top-budget, then global top-C; adds ``seq``.
 
@@ -98,6 +99,17 @@ def dequeue(
     (max_budget, below) still dominates every row.  ``sched_ms`` =
     (per-host rank − 1) × interval is the round-time bookkeeping a
     fetcher executes against.
+
+    Cross-round continuity (VERDICT r04 'Next round' #2): *host_carry*
+    — a dim-sized (host, carry_ms) table, carry_ms ≥ 0 — shifts a
+    host's first fetch of THIS round to carry_ms into the window, so
+    the spacing guarantee holds across the round boundary: the driver
+    computes carry_ms = max(0, last_abs_fetch_ms + interval −
+    round_start_ms) from the checkpointed ``host_sched`` table.  The
+    effective window shrinks to round_ms − carry_ms (a host whose debt
+    exceeds the round gets ZERO fetches this round), and sched_ms =
+    carry_ms + (rank−1)·interval.  Carry can only lower the cap, so
+    the literal WindowGroupLimit bound still dominates.
 
     Each rank filter is split in two: a LITERAL bound (``max_budget``)
     first, then the exact per-host column bound.  Catalyst can only
@@ -128,9 +140,19 @@ def dequeue(
     )
     has_interval = "min_interval_ms" in host_budget.columns
     if has_interval:
-        icap = F.expr(
-            f"({round_ms} + min_interval_ms - 1) div min_interval_ms"
-        ).cast("int")
+        if host_carry is not None:
+            b = b.join(F.broadcast(host_carry), "host", "left")
+            b = b.withColumn("_carry", F.coalesce(F.col("carry_ms"), F.lit(0)).cast("long"))
+        else:
+            b = b.withColumn("_carry", F.lit(0).cast("long"))
+        # politeness window left this round after the carried-over debt;
+        # ≤ 0 ⇒ the host's next allowed fetch falls past this round
+        b = b.withColumn("_left", F.lit(round_ms).cast("long") - F.col("_carry"))
+        icap = (
+            F.when(F.col("_left") <= 0, F.lit(0))
+            .otherwise(F.expr("(_left + min_interval_ms - 1) div min_interval_ms"))
+            .cast("int")
+        )
         b = b.withColumn(
             "budget",
             F.when(
@@ -154,12 +176,16 @@ def dequeue(
         .filter(F.col("_rn2") <= F.lit(max_budget))
         .filter(F.col("_rn2") <= F.col("budget"))
     )
-    # sched_ms: politeness-spaced fetch offset inside the round window
+    # sched_ms: politeness-spaced fetch offset inside the round window,
+    # starting from the cross-round carry (0 when no debt / no delay)
     if has_interval:
-        sched = (F.col("_rn2") - 1) * F.coalesce(
+        ival = F.coalesce(
             F.when(F.col("min_interval_ms") > 0, F.col("min_interval_ms")),
             F.lit(0),
         )
+        sched = F.when(ival > 0, F.col("_carry")).otherwise(F.lit(0)) + (
+            F.col("_rn2") - 1
+        ) * ival
     else:
         sched = F.lit(0)
     b = b.withColumn("sched_ms", sched.cast("long"))
@@ -170,4 +196,8 @@ def dequeue(
         .filter(F.col("seq") <= capacity)
         .drop("_rn1", "_rn2", "budget")
     )
-    return out.drop("min_interval_ms") if has_interval else out
+    if has_interval:
+        out = out.drop("min_interval_ms", "_carry", "_left")
+        if host_carry is not None:
+            out = out.drop("carry_ms")
+    return out

@@ -56,6 +56,11 @@ class CrawlResult:
     frontier: dict[str, tuple[float, int, int]] = field(default_factory=dict)
     # (src_host, dst_host) per extracted link, in discovery order
     host_edges: list[tuple[str, str]] = field(default_factory=list)
+    # host → absolute ms of its last fetch (rounds on one continuous
+    # clock: round r spans [r·round_ms, (r+1)·round_ms)) — the twin of
+    # the engine's checkpointed ``host_sched`` snapshot; only delayed
+    # hosts are tracked
+    host_last_abs: dict[str, int] = field(default_factory=dict)
 
 
 def latest_captures(pages_rows) -> dict[str, tuple]:
@@ -156,12 +161,25 @@ def crawl_rounds(
         for url, pr, sc, dep in elig:
             by_host.setdefault(_host(url), []).append((url, pr, sc, dep))
         picked: list[tuple[str, float, float, int]] = []
+        # url → (host, interval, sched_ms) for delayed hosts' picks —
+        # sched uses the per-host rank BEFORE the global capacity cut,
+        # exactly like the engine's _rn2 (frontier.dequeue)
+        sched: dict[str, tuple[str, int, int]] = {}
         for host, rows in by_host.items():
             rows.sort(key=lambda t: (-t[1], t[0]))
             b = budgets.get(host, DEFAULT_BUDGET)
             i = (intervals or {}).get(host) or 0
-            if i > 0:  # crawl-delay cap, integer-exact ceil (engine twin)
-                b = min(b, (cfg.round_ms + i - 1) // i)
+            carry = 0
+            if i > 0:  # crawl-delay cap over the carry-shrunk window,
+                # integer-exact ceil (engine twin, incl. cross-round
+                # continuity: carry = politeness debt at round start)
+                last = res.host_last_abs.get(host)
+                if last is not None:
+                    carry = max(0, last + i - r * cfg.round_ms)
+                left = cfg.round_ms - carry
+                b = 0 if left <= 0 else min(b, (left + i - 1) // i)
+                for k, row in enumerate(rows[:b]):
+                    sched[row[0]] = (host, i, carry + k * i)
             picked.extend(rows[:b])
         # --- global top-C, seq = rank ---------------------------------------
         picked.sort(key=lambda t: (-t[1], t[0]))
@@ -171,6 +189,11 @@ def crawl_rounds(
         for seq, (url, _pr, sc, dep) in enumerate(dequeued, start=1):
             res.ordering.append((r, seq, url))
             res.seen_hashes.add(spec.xxh64(url))
+            if url in sched:  # advance the host's continuous clock
+                h, _i, s = sched[url]
+                abs_ms = r * cfg.round_ms + s
+                if abs_ms > res.host_last_abs.get(h, -1):
+                    res.host_last_abs[h] = abs_ms
             del res.frontier[url]
             cap = corpus.get(url)
             if cap is None:

@@ -522,13 +522,15 @@ def extract_media(spark, sf_dir):
     # in SQL window functions; only the real group's 3 rules survive.
     r"""WITH r AS (SELECT doc_id % 7 AS robot_id,
         'Disallow: /stray' || chr(10) ||
-        'User-agent: OtherBot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+        'User-agent: OtherBot' || chr(10) || 'Disallow: /' || chr(10) ||
+        'Crawl-delay: 9' || chr(10) || chr(10) ||
         CASE WHEN (doc_id % 7) % 2 = 0
              THEN 'User-agent: Focused-Crawler' || chr(10) || 'User-agent: miscbot'
              ELSE 'User-agent: *' END || chr(10) ||
         'Disallow: /private' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
         'Allow: /public' || chr(10) ||
-        'Crawl-delay: 2.5' || chr(10) ||
+        'Crawl-delay: ' || CASE (doc_id % 7) % 4 WHEN 0 THEN '0.5'
+             WHEN 1 THEN '1' WHEN 2 THEN '2.5' ELSE '3' END || chr(10) ||
         'disallow:/tmp' || CAST((doc_id % 7) % 3 AS VARCHAR) AS content
       FROM documents),
     d AS (SELECT DISTINCT robot_id, content FROM r),
@@ -598,15 +600,27 @@ def _robots_bodies(spark, sf_dir):
     """The same synthetic robots.txt bodies parse_robots_txt builds."""
     d = _t(spark, sf_dir, "documents")
     rid = (F.col("doc_id") % 7).alias("robot_id")
+    # per-robot delay (0.5/1/2.5/3 s) so the extraction is non-vacuous
+    # across hosts; the decoy OtherBot group carries Crawl-delay: 9 to
+    # prove group selection gates the delay too
+    delay = (
+        F.when((F.col("doc_id") % 7) % 4 == 0, F.lit("0.5"))
+        .when((F.col("doc_id") % 7) % 4 == 1, F.lit("1"))
+        .when((F.col("doc_id") % 7) % 4 == 2, F.lit("2.5"))
+        .otherwise(F.lit("3"))
+    )
     content = F.concat(
-        F.lit("Disallow: /stray\nUser-agent: OtherBot\nDisallow: /\n\n"),
+        F.lit("Disallow: /stray\nUser-agent: OtherBot\nDisallow: /\n"
+              "Crawl-delay: 9\n\n"),
         F.when(
             (F.col("doc_id") % 7) % 2 == 0,
             F.lit("User-agent: Focused-Crawler\nUser-agent: miscbot"),
         ).otherwise(F.lit("User-agent: *")),
         F.lit("\nDisallow: /private"),
         (F.col("doc_id") % 7).cast("string"),
-        F.lit("\nAllow: /public\nCrawl-delay: 2.5\ndisallow:/tmp"),
+        F.lit("\nAllow: /public\nCrawl-delay: "),
+        delay,
+        F.lit("\ndisallow:/tmp"),
         ((F.col("doc_id") % 7) % 3).cast("string"),
     )
     return d.select(rid, content.alias("content")).distinct()

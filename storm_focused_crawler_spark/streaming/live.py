@@ -144,7 +144,7 @@ def _seen_filter_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator
     state.update((seen.tobytes(),))
 
 
-BUDGET_OUT_SCHEMA = "url string, host string, n_used long"
+BUDGET_OUT_SCHEMA = "url string, host string, n_used long, sched_ms long"
 BUDGET_STATE_SCHEMA = "used long"
 
 
@@ -156,9 +156,14 @@ def _budget_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.D
     matches §2.1-5.  ``icap`` (key[2]) is the per-batch crawl-delay
     cap — ceil(round_ms / min_interval_ms), each micro-batch being one
     round-window of wall time — so inter-request spacing holds per
-    generation while the lifetime budget keeps counting across them."""
+    generation while the lifetime budget keeps counting across them.
+    ``sched_ms`` = (rank-in-batch − 1) × min_interval_ms (key[3]) — the
+    IDENTICAL integer math as the batch dequeue's within-round spacing
+    (operators/frontier.dequeue), so a deployment spaces requests the
+    same way in both modes (VERDICT r04 'Next round' #7)."""
     budget = key[1]
     icap = key[2]
+    ival = key[3]
     used = int(state.get[0]) if state.exists else 0
     # one host group can arrive as MULTIPLE Arrow chunks in a micro-batch;
     # sorting/heading per chunk would make the picks chunk-boundary-
@@ -182,7 +187,8 @@ def _budget_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.D
         take = best.copy()
         used += len(take)
         take["n_used"] = range(used - len(take) + 1, used + 1)
-        yield take[["url", "host", "n_used"]]
+        take["sched_ms"] = [k * ival for k in range(len(take))]
+        yield take[["url", "host", "n_used", "sched_ms"]]
     state.update((used,))
 
 
@@ -210,8 +216,9 @@ def politeness_limit_stream(urls: DataFrame, budget: int,
         host_col(F.col("url")).alias("host"),
         F.lit(budget).alias("budget"),
         F.lit(icap).alias("icap"),
+        F.lit(max(min_interval_ms, 0)).alias("ival"),
     )
-    return keyed.groupBy("host", "budget", "icap").applyInPandasWithState(
+    return keyed.groupBy("host", "budget", "icap", "ival").applyInPandasWithState(
         _budget_fn,
         outputStructType=BUDGET_OUT_SCHEMA,
         stateStructType=BUDGET_STATE_SCHEMA,

@@ -126,6 +126,13 @@ def test_crawl_parity_with_mixed_budgets_and_delays(spark, delayed_paths, tmp_pa
         for x in store.read_union(spark, cfg.rounds - 1, "seen").collect()
     }
     assert got_seen == res.seen_hashes
+    # the cross-round clock agrees: engine host_sched snapshot ==
+    # oracle host_last_abs (both only track delayed hosts)
+    clock = {
+        r["host"]: r["last_abs_ms"]
+        for r in store.read(spark, cfg.rounds - 1, "host_sched").collect()
+    }
+    assert clock == res.host_last_abs
     # the delays actually BIND: some host hit its interval cap below its
     # budget (otherwise this test proves nothing)
     from storm_focused_crawler_spark.functions.udfs import host_col
@@ -188,6 +195,167 @@ def test_streaming_token_bucket_interval_cap(spark, tmp_path):
         batch1 = [r["url"] for r in hr[:3]]
         assert all("/a" in u for u in batch1), batch1  # first window's files
         assert all("/b" in r["url"] for r in hr[3:])
+
+
+def test_dequeue_host_carry_shifts_and_caps(spark):
+    """Cross-round carry (VERDICT r04 #2), operator level: carry_ms
+    shifts a host's first sched_ms, shrinks the politeness window (so
+    the interval cap drops), and a debt ≥ round_ms yields ZERO fetches;
+    no-delay hosts ignore any carry row."""
+    rows = []
+    for h in ("hA.ex", "hB.ex", "hC.ex", "hD.ex"):
+        for i in range(6):
+            rows.append((f"https://{h}/p{i}", float(10 - i)))
+    elig = spark.createDataFrame(
+        [(u, hash(u) % (1 << 60), s, 0, u.split("/")[2]) for u, s in rows],
+        "url string, url_hash long, score double, depth int, host string",
+    )
+    hb = spark.createDataFrame(
+        [
+            ("hA.ex", 5, 40_000),
+            ("hB.ex", 5, 15_000),
+            ("hC.ex", 5, 40_000),
+            ("hD.ex", 3, None),
+        ],
+        "host string, budget int, min_interval_ms int",
+    )
+    carry = spark.createDataFrame(
+        [("hA.ex", 20_000), ("hB.ex", 10_000), ("hC.ex", 70_000), ("hD.ex", 50_000)],
+        "host string, carry_ms long",
+    )
+    got = dequeue(
+        elig, hb, capacity=100, n_salts=4, round_ms=ROUND_MS, host_carry=carry
+    ).collect()
+    by_host: dict[str, list] = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r)
+    for v in by_host.values():
+        v.sort(key=lambda r: (-r["score"], r["url"]))
+    # hA: window left 40000 → cap ceil(40000/40000)=1, shifted start
+    assert [r["sched_ms"] for r in by_host["hA.ex"]] == [20_000]
+    # hB: left 50000 → cap min(5, ceil(50000/15000)=4), spaced from 10000
+    assert [r["sched_ms"] for r in by_host["hB.ex"]] == [10_000, 25_000, 40_000, 55_000]
+    # hC: debt 70000 ≥ round → zero fetches this round
+    assert "hC.ex" not in by_host
+    # hD: no interval → carry ignored, budget 3, sched 0
+    assert [r["sched_ms"] for r in by_host["hD.ex"]] == [0, 0, 0]
+
+
+def test_crawl_delay_continuity_across_rounds(spark, tmp_path):
+    """Driver-level continuity: one host with interval 150 s > the 60 s
+    round window fetches on rounds 0 and 2 only (debt skips round 1 and
+    3 entirely), round 2's fetch is shifted 30 s into the window, and
+    the engine's checkpointed host_sched clock matches the oracle's."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    d = tmp_path / "slowfix"
+    d.mkdir()
+    urls = [f"https://slow.ex/p{i}" for i in range(6)]
+    # each page links to the next two (same host), so the frontier keeps
+    # refilling via DISCOVERY — seeds all become seen after round 0
+    # (§2.1-3), so a seeds-only fixture would empty out after one round
+    html = [
+        (f'<html><body><a href="https://slow.ex/p{i + 1}">a</a>'
+         f'<a href="https://slow.ex/p{i + 2}">b</a></body></html>').encode()
+        for i in range(6)
+    ]
+    pq.write_table(
+        pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([datetime(2024, 1, 1, 0, 0, i) for i in range(6)],
+                                pa.timestamp("us")),
+            "html": pa.array(html, pa.binary()),
+            "text": pa.array([""] * 6, pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+        }),
+        str(d / "pages.parquet"),
+    )
+    pq.write_table(
+        pa.table({"host": pa.array([], pa.string()),
+                  "disallow_prefix": pa.array([], pa.string())}),
+        str(d / "robots.parquet"),
+    )
+    pq.write_table(
+        pa.table({"host": pa.array(["slow.ex"], pa.string()),
+                  "budget": pa.array([3], pa.int32()),
+                  "min_interval_ms": pa.array([150_000], pa.int32())}),
+        str(d / "host_budget.parquet"),
+    )
+    with open(d / "seeds.json", "w") as f:
+        _json.dump(urls[:1], f)
+    paths = {"pages": str(d / "pages.parquet"), "robots": str(d / "robots.parquet"),
+             "host_budget": str(d / "host_budget.parquet"),
+             "seeds": str(d / "seeds.json")}
+    cfg = drv.CrawlConfig(rounds=4, capacity=8, keywords=())
+    wd = str(tmp_path / "wd")
+    store = drv.run_crawl(spark, paths, cfg, wd)
+    per_round = [store.read(spark, r, "ordering").count() for r in range(4)]
+    # r0: fetch at 0; r1: debt 90 s → none; r2: fetch at 30 s; r3: none
+    assert per_round == [1, 0, 1, 0]
+    clock = {r["host"]: r["last_abs_ms"]
+             for r in store.read(spark, 3, "host_sched").collect()}
+    assert clock == {"slow.ex": 150_000}  # round 2 start (120 s) + 30 s shift
+
+    pages, seeds, robots, budgets = sq.load_fixture_inputs(paths)
+    res = sq.crawl(pages, seeds, robots, budgets,
+                   sq.CrawlConfig(rounds=4, capacity=8, keywords=()),
+                   intervals=sq.load_intervals(paths))
+    got = []
+    for r in range(4):
+        got += sorted((x["round"], x["seq"], x["url"])
+                      for x in store.read(spark, r, "ordering").collect())
+    assert got == sorted(res.ordering)
+    assert res.host_last_abs == {"slow.ex": 150_000}
+
+
+def test_streaming_sched_ms_matches_batch_dequeue(spark, tmp_path):
+    """VERDICT r04 #7: the streaming bucket emits sched_ms from the
+    SAME integer math as the batch dequeue — identical per-host spacing
+    on the same fixture (scores 0 so both pick in url-asc order)."""
+    urls = [f"https://h{i % 3}.ex/p{i:02d}" for i in range(18)]
+    # batch side
+    elig = spark.createDataFrame(
+        [(u, hash(u) % (1 << 60), 0.0, 0, u.split("/")[2]) for u in urls],
+        "url string, url_hash long, score double, depth int, host string",
+    )
+    hb = spark.createDataFrame(
+        [(f"h{i}.ex", 5, 25_000) for i in range(3)],
+        "host string, budget int, min_interval_ms int",
+    )
+    batch = dequeue(elig, hb, capacity=100, n_salts=4, round_ms=ROUND_MS).collect()
+    batch_sched = {}
+    for r in batch:
+        batch_sched.setdefault(r["host"], []).append((r["url"], r["sched_ms"]))
+    # streaming side: one micro-batch = one round window
+    feed = str(tmp_path / "feed_parity")
+    spark.createDataFrame([(u,) for u in urls], "url string").coalesce(1) \
+        .write.parquet(feed)
+    stream = spark.readStream.schema("url string").parquet(feed)
+    from storm_focused_crawler_spark.streaming import live
+
+    name = f"schedpar_{uuid.uuid4().hex[:8]}"
+    q = (
+        live.politeness_limit_stream(
+            stream, budget=5, min_interval_ms=25_000, round_ms=ROUND_MS
+        )
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream_sched = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        stream_sched.setdefault(r["host"], []).append((r["url"], r["sched_ms"]))
+    for d in (batch_sched, stream_sched):
+        for v in d.values():
+            v.sort()
+    assert batch_sched == stream_sched
+    # and the spacing is non-trivial (icap 3 < budget 5 binds)
+    assert all(len(v) == 3 for v in batch_sched.values())
+    assert [s for _, s in batch_sched["h0.ex"]] == [0, 25_000, 50_000]
 
 
 def test_dequeue_crawl_delay_registry_op(spark):
