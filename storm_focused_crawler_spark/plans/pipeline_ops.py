@@ -512,15 +512,15 @@ def extract_media(spark, sf_dir):
     return m.select("doc_id", F.col("m.media_url").alias("media_url"), F.col("m.kind").alias("kind"))
 
 
-@op(
-    "parse_robots_txt",
-    # group-aware parse (RFC 9309 §2.2.1): each synthetic robots.txt
-    # body carries a decoy OtherBot group (Disallow: /), a stray rule
-    # before any user-agent line (ignored), and the real group — named
-    # 'Focused-Crawler' + 'miscbot' on even robot ids, '*' on odd ones.
-    # The oracle runs the SAME run-assignment + group-selection logic
-    # in SQL window functions; only the real group's 3 rules survive.
-    r"""WITH r AS (SELECT doc_id % 7 AS robot_id,
+# Shared DuckDB re-implementation of RFC 9309 §2.2.1 grouping: each
+# synthetic robots.txt body carries a decoy OtherBot group (Disallow: /
+# + Crawl-delay: 9), a stray rule before any user-agent line (ignored),
+# and the real group — named 'Focused-Crawler' + 'miscbot' on even
+# robot ids, '*' on odd ones.  The chain runs the SAME run-assignment +
+# group-selection logic as operators/robots._classified_runs in SQL
+# window functions; parse_robots_txt and parse_crawl_delay append their
+# own final SELECT over (rules|runid) ⋈ chosen.
+_ROBOTS_GROUPS_CTES = r"""WITH r AS (SELECT doc_id % 7 AS robot_id,
         'Disallow: /stray' || chr(10) ||
         'User-agent: OtherBot' || chr(10) || 'Disallow: /' || chr(10) ||
         'Crawl-delay: 9' || chr(10) || chr(10) ||
@@ -572,7 +572,13 @@ def extract_media(spark, sf_dir):
             FROM per_run),
     chosen AS (SELECT robot_id, run_id FROM sel
                WHERE (any_exact = 1 AND run_exact = 1)
-                  OR (any_exact = 0 AND run_star = 1))
+                  OR (any_exact = 0 AND run_star = 1))"""
+
+
+@op(
+    "parse_robots_txt",
+    _ROBOTS_GROUPS_CTES
+    + r"""
     SELECT r.robot_id, r.prefix, r.allow
     FROM rules r JOIN chosen c USING (robot_id, run_id)
     WHERE len(r.prefix) >= 1""",
@@ -626,7 +632,23 @@ def _robots_bodies(spark, sf_dir):
     return d.select(rid, content.alias("content")).distinct()
 
 
-@op("parse_crawl_delay", None)  # pytest-locked vs parse_crawl_delay_py
+@op(
+    "parse_crawl_delay",
+    # VERDICT r04 'Next round' #4: the delay directive through the SAME
+    # group-selection chain — per-robot delays vary (0.5/1/2.5/3 s) and
+    # the decoy group's Crawl-delay: 9 must NOT leak through
+    _ROBOTS_GROUPS_CTES
+    + r""",
+    delays AS (
+      SELECT robot_id, run_id,
+             CAST(CAST(regexp_extract(line,
+                  '(?i)^crawl-delay:\s*(\d+(\.\d+)?)\s*$', 1) AS DOUBLE)
+                  * 1000 AS INT) AS delay_ms
+      FROM runid WHERE is_delay AND run_id IS NOT NULL)
+    SELECT d.robot_id, max(d.delay_ms) AS delay_ms
+    FROM delays d JOIN chosen c USING (robot_id, run_id)
+    GROUP BY d.robot_id""",
+)
 def parse_crawl_delay(spark, sf_dir):
     """Selected-group ``Crawl-delay:`` extraction (the politeness
     extension every major crawler honors): decimal seconds → int ms,

@@ -69,6 +69,25 @@ def test_operator_matches_duckdb(spark, sf_dir, ddb, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_scan_frontier_matches_duckdb(spark, sf_dir, ddb):
+    """scan_frontier lost its driver-window sql slot to
+    parse_crawl_delay (the harness records the first 50 sql keys —
+    VERDICT r04 #4) but stays DuckDB-verified HERE via the kept oracle
+    string."""
+    from storm_focused_crawler_spark.plans.queries import SCAN_FRONTIER_ORACLE
+
+    fn, _ = REGISTRY["scan_frontier"]
+    sdf = fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(row[c] for c in s_cols) for row in sdf.collect()]
+    res = ddb.execute(SCAN_FRONTIER_ORACLE)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert _rows_set(s_cols, s_rows) == _rows_set(d_cols, d_rows)
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_OPS)
 def test_rows_only_operator_runs(spark, sf_dir, name):
     """Rows-only ops: run, stable schema, deterministic across two runs."""

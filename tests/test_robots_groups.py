@@ -328,13 +328,14 @@ def test_crawl_parity_with_robots_crawl_delay(spark, tmp_path):
 
 
 def test_parse_crawl_delay_registry_op(spark):
-    """Registry op: every synthetic robot body carries Crawl-delay 2.5
-    inside the real group → 2500 ms for all 7 robot ids."""
+    """Registry op: each robot body carries a per-robot Crawl-delay
+    (0.5/1/2.5/3 s by robot_id % 4) in the real group plus a decoy 9 s
+    in the OtherBot group — only the real group's value survives."""
     import __spark_entry__ as e
 
     rows = e.queries()["parse_crawl_delay"](spark, "/root/testdata/sf0.001").collect()
-    assert {int(r["robot_id"]) for r in rows} == set(range(7))
-    assert all(r["delay_ms"] == 2500 for r in rows)
+    want = {rid: {0: 500, 1: 1000, 2: 2500, 3: 3000}[rid % 4] for rid in range(7)}
+    assert {int(r["robot_id"]): r["delay_ms"] for r in rows} == want
 
 
 def test_crawl_delay_applies_to_host_missing_from_budget_table(spark, tmp_path):
