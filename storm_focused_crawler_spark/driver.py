@@ -149,6 +149,7 @@ def run_round(
     url_expansions: DataFrame | None = None,
     host_ranks: DataFrame | None = None,
     host_carry: DataFrame | None = None,
+    redirects: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}.
 
@@ -199,6 +200,42 @@ def run_round(
 
     # --- fetch = broadcast-join the tiny dequeued set into the corpus ------
     fetch_keys = deq.select("url", "seq", "depth")
+    if redirects is not None:
+        # 3xx chains ([R] fetcher redirect handling; VERDICT r04 #5):
+        # *redirects* is the CLOSED canonical (url → final_url) dim
+        # mapping, broadcast like url_expansions.  The hop was already
+        # charged to the ORIGINAL host's budget by the dequeue above.
+        # Two dedup layers keep exactly-once fetching: (a) same-round —
+        # several dequeued urls landing on one final_url keep the
+        # lowest seq (tiny ≤capacity window); (b) cross-round — finals
+        # already in the seen set are dropped via a broadcast semi-join
+        # that SCANS seen but never shuffles it (the tiny side
+        # broadcasts both times; a left_anti against 10^10-row seen
+        # would sort-merge it).
+        fetch_keys = fetch_keys.join(F.broadcast(redirects), "url", "left").withColumn(
+            "final_url", F.coalesce(F.col("final_url"), F.col("url"))
+        )
+        w_rf = Window.partitionBy("final_url").orderBy("seq")
+        fetch_keys = (
+            fetch_keys.withColumn("_rf", F.row_number().over(w_rf))
+            .filter(F.col("_rf") == 1)
+            .drop("_rf")
+        )
+        fh = fetch_keys.withColumn("_fh", F.xxhash64("final_url"))
+        hits = seen.select("url_hash").join(
+            F.broadcast(fh.select(F.col("_fh").alias("url_hash")).distinct()),
+            "url_hash",
+            "left_semi",
+        )
+        fetch_keys = (
+            fh.join(
+                F.broadcast(hits.select(F.col("url_hash").alias("_fh"))),
+                "_fh",
+                "left_anti",
+            )
+            .select(F.col("final_url").alias("url"), "seq", "depth")
+            .persist()
+        )
     fetched = corpus.join(F.broadcast(fetch_keys), "url", "inner")
     w_asof = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
     latest = fetched.withColumn("_rn", F.row_number().over(w_asof)).filter(F.col("_rn") == 1)
@@ -268,6 +305,13 @@ def run_round(
     # per-round deltas in one multi-path scan — storage.read_union) ----------
     emitted = deq.select("url_hash")
     seen_delta = emitted
+    if redirects is not None:
+        # the fetched FINAL urls become seen too (a later round must not
+        # re-fetch a landing page directly or via another alias); misses
+        # included — a miss stays a miss when fetched directly
+        seen_delta = seen_delta.unionByName(
+            fetch_keys.select(F.xxhash64("url").alias("url_hash"))
+        ).distinct()
     if rnd == 0:
         seeds_df = spark.createDataFrame([(h,) for h in seed_hashes], SEEN_SCHEMA)
         # delta is tiny (≤ capacity + |seeds| rows) — distinct is cheap here
@@ -347,7 +391,9 @@ def run_round(
         "frontier": frontier_next,
         "seen": seen_delta,
         "metrics": metrics,
-        "_persisted": [deq, ex, links, frontier_next],  # caller unpersists after commit
+        # caller unpersists after commit
+        "_persisted": [deq, ex, links, frontier_next]
+        + ([fetch_keys] if redirects is not None else []),
         "_observations": obs,  # stage → Observation; read AFTER the writes ran
     })
     if cfg.host_rank_weight > 0:
@@ -445,6 +491,24 @@ def run_crawl(
         url_expansions = close_mapping(
             spark.read.parquet(fixture_paths["url_expansions"])
         )
+    redirects = None
+    if "redirects" in fixture_paths:
+        # (url, final_url[, status]) 3xx hop table: keep redirect
+        # statuses only, canonicalize both endpoints, close chains once
+        # (bounded, cycle-safe — close_mapping) so fetch-time resolution
+        # is a single broadcast hop; oracle twin: seqcrawler.load_redirects
+        from storm_focused_crawler_spark.functions.udfs import close_mapping
+
+        rd = spark.read.parquet(fixture_paths["redirects"])
+        if "status" in rd.columns:
+            rd = rd.filter((F.col("status") >= 300) & (F.col("status") < 400))
+        rd = rd.select(
+            canonicalize_udf(F.col("url")).alias("short_url"),
+            canonicalize_udf(F.col("final_url")).alias("long_url"),
+        )
+        redirects = close_mapping(rd).select(
+            F.col("short_url").alias("url"), F.col("long_url").alias("final_url")
+        )
 
     last = store.latest_round() if resume else None
     if last is None:
@@ -534,6 +598,7 @@ def run_crawl(
             url_expansions=url_expansions,
             host_ranks=host_ranks,
             host_carry=host_carry,
+            redirects=redirects,
         )
         if "host_sched" in out and prev_sched is not None:
             # full snapshot = prior clock ∪ this round's delta, latest

@@ -103,6 +103,7 @@ def crawl(
     budgets: dict[str, int],
     cfg: CrawlConfig,
     intervals: dict[str, int] | None = None,
+    redirects: dict[str, str] | None = None,
 ) -> CrawlResult:
     corpus = latest_captures(pages_rows)
     res = CrawlResult()
@@ -114,7 +115,7 @@ def crawl(
         if cur is None or _better(cand, cur):
             res.frontier[c] = cand
     crawl_rounds(res, corpus, seeds, robots, budgets, cfg, 0, cfg.rounds,
-                 intervals=intervals)
+                 intervals=intervals, redirects=redirects)
     return res
 
 
@@ -128,13 +129,21 @@ def crawl_rounds(
     r_start: int,
     r_end: int,
     intervals: dict[str, int] | None = None,
+    redirects: dict[str, str] | None = None,
 ) -> CrawlResult:
     """Advance an existing crawl state through rounds [r_start, r_end) —
     the resume/maintenance entry point (driver.run_crawl's loop twin).
 
     *intervals* maps host → min_interval_ms (the host_budget column):
     the per-round budget cap is min(budget, ceil(round_ms/interval)),
-    computed with the same integer ceil as the engine."""
+    computed with the same integer ceil as the engine.
+
+    *redirects* is the CLOSED canonical (url → final_url) 3xx mapping
+    (load_redirects): a dequeued url fetches its landing page instead,
+    the result row carries the FINAL url, both urls become seen, and a
+    final already seen — from an earlier round OR a lower-seq fetch of
+    the same round — yields no result row (no double fetch), exactly
+    the engine's window + seen-semi-join dedup (driver.run_round)."""
     for r in range(r_start, r_end):
         # --- §2.1-7: host authority over the graph discovered so far -------
         ranks: dict[str, int] | None = None
@@ -188,6 +197,11 @@ def crawl_rounds(
         new_links: list[tuple[str, float, int]] = []
         for seq, (url, _pr, sc, dep) in enumerate(dequeued, start=1):
             res.ordering.append((r, seq, url))
+            final = (redirects or {}).get(url, url)
+            # seen BEFORE this fetch?  True only via an earlier round or
+            # a lower-seq fetch landing on the same final this round —
+            # the engine's two dedup layers (redirect-to-seen: skip)
+            already = spec.xxh64(final) in res.seen_hashes
             res.seen_hashes.add(spec.xxh64(url))
             if url in sched:  # advance the host's continuous clock
                 h, _i, s = sched[url]
@@ -195,7 +209,10 @@ def crawl_rounds(
                 if abs_ms > res.host_last_abs.get(h, -1):
                     res.host_last_abs[h] = abs_ms
             del res.frontier[url]
-            cap = corpus.get(url)
+            if already:
+                continue  # no result row, no re-fetch
+            res.seen_hashes.add(spec.xxh64(final))
+            cap = corpus.get(final)
             if cap is None:
                 continue  # fetch miss: seen, no result
             _ts, html, _text, lang = cap
@@ -207,10 +224,10 @@ def crawl_rounds(
             else:
                 page_score = spec.relevance_score(text, cfg.keywords)
             links = [spec.canon(u) for u in spec.extract_links(html)]
-            res.results.append((r, seq, url, page_score, text, lang, len(links)))
+            res.results.append((r, seq, final, page_score, text, lang, len(links)))
             for link in links:
                 new_links.append((link, page_score, dep + 1))
-                res.host_edges.append((_host(url), _host(link)))
+                res.host_edges.append((_host(final), _host(link)))
         if r == 0:
             for s in seeds:
                 res.seen_hashes.add(spec.xxh64(spec.canon(s)))
@@ -302,6 +319,41 @@ def load_fixture_inputs(fix_paths: dict[str, str], user_agent: str = "focused-cr
     hb = pq.read_table(fix_paths["host_budget"])
     budgets = dict(zip(hb.column("host").to_pylist(), hb.column("budget").to_pylist()))
     return pages_rows, seeds, robots, budgets
+
+
+def load_redirects(fix_paths: dict[str, str]) -> dict[str, str]:
+    """canon(url) → canon(final_url) with chains closed — the exact
+    twin of driver.run_crawl's redirect load (3xx filter, canonicalize,
+    then functions/udfs.close_mapping's bounded cycle-safe chase: 16
+    hops max, stop at the last url before a revisit)."""
+    import pyarrow.parquet as pq
+
+    if "redirects" not in fix_paths:
+        return {}
+    rd = pq.read_table(fix_paths["redirects"])
+    urls = rd.column("url").to_pylist()
+    finals = rd.column("final_url").to_pylist()
+    statuses = (
+        rd.column("status").to_pylist()
+        if "status" in rd.column_names
+        else [301] * len(urls)
+    )
+    rows = {
+        spec.canon(u): spec.canon(f)
+        for u, f, s in zip(urls, finals, statuses)
+        if s is not None and 300 <= int(s) < 400  # engine filter drops nulls
+    }
+    closed: dict[str, str] = {}
+    for short in rows:
+        cur = rows[short]
+        seen = {short}
+        for _ in range(16):
+            if cur not in rows or cur in seen:
+                break
+            seen.add(cur)
+            cur = rows[cur]
+        closed[short] = cur
+    return closed
 
 
 def load_intervals(fix_paths: dict[str, str],
