@@ -252,6 +252,60 @@ def url_expand(spark, sf_dir):
     return ex.select("raw_url", F.col("url").alias("expanded"))
 
 
+# DuckDB oracle for url_redirect_resolve — an INDEPENDENT closure via
+# WITH RECURSIVE (the engine closes driver-side in close_mapping), kept
+# outside the driver's 50-key sql window; tests/test_redirects.py runs
+# the compare explicitly.
+URL_REDIRECT_ORACLE = f"""WITH RECURSIVE {URLS_CTE},
+    mapping AS (
+      SELECT 'https://re.dir/a' || CAST(doc_id AS VARCHAR) AS src,
+             'https://re.dir/b' || CAST(doc_id AS VARCHAR) AS dst
+      FROM urls WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT 'https://re.dir/b' || CAST(doc_id AS VARCHAR), url
+      FROM urls WHERE doc_id % 10 = 3),
+    universe AS (SELECT doc_id, CASE WHEN doc_id % 10 = 3
+                   THEN 'https://re.dir/a' || CAST(doc_id AS VARCHAR)
+                   ELSE url END AS raw_url
+                 FROM urls),
+    chase(raw_url, cur, depth) AS (
+      SELECT raw_url, raw_url, 0 FROM universe
+      UNION ALL
+      SELECT c.raw_url, m.dst, c.depth + 1
+      FROM chase c JOIN mapping m ON c.cur = m.src
+      WHERE c.depth < 16)
+    SELECT raw_url, max_by(cur, depth) AS final_url
+    FROM chase GROUP BY raw_url"""
+
+
+@op("url_redirect_resolve", None)  # DuckDB-checked via URL_REDIRECT_ORACLE pytest
+def url_redirect_resolve(spark, sf_dir):
+    """3xx chain resolution ([R] fetcher redirect handling; the crawl
+    integration is driver.run_round's fetch path, parity-locked in
+    tests/test_redirects.py): a synthetic 2-hop redirect mapping over
+    the url universe is CLOSED once (functions/udfs.close_mapping —
+    bounded, cycle-safe) and applied as one broadcast hop; unmapped
+    urls pass through."""
+    from storm_focused_crawler_spark.functions.udfs import close_mapping
+
+    u = _urls(spark, sf_dir)
+    sel = u.filter(F.col("doc_id") % 10 == 3)
+    a = F.concat(F.lit("https://re.dir/a"), F.col("doc_id").cast("string"))
+    b = F.concat(F.lit("https://re.dir/b"), F.col("doc_id").cast("string"))
+    mapping = sel.select(a.alias("short_url"), b.alias("long_url")).unionByName(
+        sel.select(b.alias("short_url"), F.col("url").alias("long_url"))
+    )
+    universe = u.select(
+        F.when(F.col("doc_id") % 10 == 3, a).otherwise(F.col("url")).alias("raw_url")
+    )
+    closed = close_mapping(mapping).select(
+        F.col("short_url").alias("raw_url"), F.col("long_url").alias("final")
+    )
+    return universe.join(F.broadcast(closed), "raw_url", "left").select(
+        "raw_url", F.coalesce(F.col("final"), F.col("raw_url")).alias("final_url")
+    )
+
+
 # ======================= joins ==============================================
 
 

@@ -155,6 +155,27 @@ def test_redirect_to_seen_never_double_fetches(spark, tmp_path, redirect_fixture
     assert spec.xxh64(RS2) in got_seen
 
 
+def test_url_redirect_resolve_matches_recursive_duckdb(spark, sf_dir):
+    """Registry op vs an INDEPENDENT DuckDB WITH RECURSIVE closure."""
+    import duckdb
+
+    from storm_focused_crawler_spark.plans.queries import (
+        URL_REDIRECT_ORACLE,
+        url_redirect_resolve,
+    )
+
+    sdf = url_redirect_resolve(spark, sf_dir)
+    got = sorted((r["raw_url"], r["final_url"]) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(URL_REDIRECT_ORACLE).fetchall()))
+    assert got == want
+    # the chains actually bind: some url resolved through TWO hops
+    assert any(a != b for a, b in got)
+
+
 def test_crawl_without_redirects_table_unchanged(spark, tmp_path, redirect_fixture):
     """Dropping the redirects key leaves the classic semantics: aliases
     are scheduled, fetch nothing (absent from the corpus), become seen."""
