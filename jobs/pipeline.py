@@ -5,9 +5,13 @@ corpus, this consumes one — the standard LLM-data curation sweep over
 a documents table, built entirely from this repo's registry operators:
 
     quality filter (text_quality_score)
+  → repetition filter (operators/curation, Gopher A1.1 fractions)
   → language ID + gate (functions/langid, char 1-3-gram profiles)
   → exact dedup (keep min doc_id per identical text)
   → near-dup removal (MinHash-LSH verified pairs → resolution rule)
+  → benchmark decontamination (optional --benchmark parquet, GPT-3
+    App. C word-8-gram rule via operators/curation.decontam_hits)
+  → PII scrub (emails/IPv4/phones redacted in the surviving text)
   → inverted-index build (operators/text_index postings + token_df)
 
 Near-dup resolution (--dedup-resolution):
@@ -52,15 +56,20 @@ def parse_args(argv=None):
     ap.add_argument("--dedup-resolution", choices=("clusters", "pairs"),
                     default="clusters",
                     help="near-dup survivor rule (see module docstring)")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of eval docs (text column) to decontaminate "
+                    "against; omitted = stage skipped")
     return ap.parse_args(argv)
 
 
 def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
                  langs: set[str], jaccard: float,
-                 dedup_resolution: str = "clusters") -> dict:
+                 dedup_resolution: str = "clusters",
+                 benchmark_path: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from storm_focused_crawler_spark.functions import langid as L
+    from storm_focused_crawler_spark.operators import curation as CU
     from storm_focused_crawler_spark.operators import dedup as D
     from storm_focused_crawler_spark.operators import text_index as TI
 
@@ -83,6 +92,14 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
     # quality filter + langid scorer don't recompute for every later count
     q = q.persist()
     n_quality = q.count()
+
+    # 1b. repetition gate (Gopher A1.1): drop docs dominated by a
+    # repeated n-gram before spending language-ID / dedup work on them
+    rep_keep = CU.repetition_metrics(q).filter(F.col("keep")).select("doc_id")
+    q2 = q.join(rep_keep, "doc_id").persist()
+    n_repetition = q2.count()
+    q.unpersist()
+    q = q2
 
     # 2. language gate on PREDICTED language (labels may be absent/wrong);
     # classify_arrow = single-pass scorer, no gram-explode shuffle
@@ -111,7 +128,22 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
     clean = q.join(losers, "doc_id", "left_anti").persist()
     n_clean = clean.count()
 
-    # 5. inverted index over the surviving corpus
+    # 4b. benchmark decontamination (GPT-3 App. C): drop survivors
+    # sharing any word 8-gram with the eval set
+    n_decontam = None
+    if benchmark_path:
+        bench = spark.read.parquet(benchmark_path)
+        contaminated = CU.decontam_hits(clean, bench).select("doc_id")
+        clean2 = clean.join(contaminated, "doc_id", "left_anti").persist()
+        n_decontam = clean2.count()
+        clean.unpersist()
+        clean = clean2
+
+    # 4c. PII scrub: redact emails/IPv4/phones in the surviving text
+    # (per-row codegen, no shuffle); keep the per-doc counts as columns
+    clean = CU.pii_scrub(clean, "text")
+
+    # 5. inverted index over the surviving (redacted) corpus
     post = TI.postings(clean, "doc_id", "text")
     clean.write.mode("overwrite").parquet(f"{out}/clean")
     post.write.mode("overwrite").parquet(f"{out}/postings")
@@ -120,15 +152,19 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
     )
     clean.unpersist()
     q.unpersist()
-    return {
+    summary = {
         "docs_in": n_in,
         "after_quality": n_quality,
+        "after_repetition": n_repetition,
         "after_lang": n_lang,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_clean,
         "dedup_resolution": dedup_resolution,
         "out": out,
     }
+    if n_decontam is not None:
+        summary["after_decontam"] = n_decontam
+    return summary
 
 
 def main(argv=None) -> int:
@@ -145,6 +181,7 @@ def main(argv=None) -> int:
         spark, docs, args.out, args.min_quality,
         set(args.langs.split(",")), args.jaccard,
         dedup_resolution=args.dedup_resolution,
+        benchmark_path=args.benchmark,
     )
     print(json.dumps(summary))
     spark.stop()

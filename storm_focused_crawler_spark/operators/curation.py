@@ -1,0 +1,139 @@
+"""Curation-filter operators: Gopher repetition metrics, PII scrub,
+benchmark n-gram decontamination.
+
+The registry ops in plans/pipeline_ops.py wrap these over the fixture
+tables (with deterministic derived PII/benchmark universes); the
+runnable curation job (jobs/pipeline.py) applies the same functions to
+arbitrary document frames.  All three are pure JVM column/agg plans —
+no Python in the hot path.
+
+Public sources: Rae et al. 2021 (Gopher) Appendix A1.1 repetition
+filters; Brown et al. 2020 (GPT-3) Appendix C n-gram decontamination;
+FineWeb's PII normalization pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def repetition_metrics(
+    d: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_max: float = 0.20,
+    top3_max: float = 0.18,
+    dup3_max: float = 0.10,
+) -> DataFrame:
+    """Per-doc Gopher A1.1 repetition fractions + keep flag.
+
+    Char mass of the most frequent word 2-/3-gram and of duplicated
+    3-grams, over len(text).  100 TB shape: one explode + two hash
+    aggregations (both map-side combinable; a doc's grams originate in
+    one input row, so partial aggregation collapses duplicates before
+    the shuffle); gram rows carry (id, n, gram) only, never the text.
+    """
+    toks = d.select(
+        F.col(id_col), F.length(text_col).alias("nc"),
+        F.split(text_col, " ").alias("w"),
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                """flatten(transform(array(2, 3), n ->
+                     CASE WHEN size(w) >= n THEN
+                       transform(sequence(1, size(w) - n + 1),
+                                 i -> struct(n AS n, concat_ws(' ', slice(w, i, n)) AS g))
+                     ELSE array() END))"""
+            )
+        ).alias("ng"),
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    cnt = grams.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    mass = F.col("c") * F.length("g")
+    per = cnt.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == 2, mass)).alias("top2"),
+        F.max(F.when(F.col("n") == 3, mass)).alias("top3"),
+        F.sum(F.when((F.col("n") == 3) & (F.col("c") >= 2), mass).otherwise(0)).alias("dup3"),
+    )
+    j = toks.select(id_col, "nc").join(per, id_col, "left")
+    nc = F.col("nc").cast("double")
+    f2 = F.coalesce(F.col("top2"), F.lit(0)) / nc
+    f3 = F.coalesce(F.col("top3"), F.lit(0)) / nc
+    fd = F.coalesce(F.col("dup3"), F.lit(0)) / nc
+    return j.select(
+        id_col,
+        F.round(f2, 6).alias("top2gram_char_frac"),
+        F.round(f3, 6).alias("top3gram_char_frac"),
+        F.round(fd, 6).alias("dup3gram_char_frac"),
+        ((f2 <= top2_max) & (f3 <= top3_max) & (fd <= dup3_max)).alias("keep"),
+    )
+
+
+def pii_scrub(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_email/n_ipv4/n_phone/has_pii and REPLACE text_col with
+    its redacted form (<EMAIL>/<IP>/<PHONE> placeholders).
+
+    Pure per-row JVM regex in whole-stage codegen — no shuffle."""
+    body = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(body, F.lit(PII_EMAIL), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(body, F.lit(PII_IPV4), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(body, F.lit(PII_PHONE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return (
+        d.withColumn("n_email", n_email)
+        .withColumn("n_ipv4", n_ipv4)
+        .withColumn("n_phone", n_phone)
+        .withColumn("has_pii", (n_email + n_ipv4 + n_phone) > 0)
+        .withColumn(text_col, redacted)
+    )
+
+
+def _gram_arr(text_col: str, n: int):
+    """Locally-deduped word n-gram array for one row (no shuffle)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        )
+    )
+
+
+def decontam_hits(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_shared_grams) for corpus docs sharing any word n-gram with
+    the benchmark frame (GPT-3 App. C rule).
+
+    100 TB shape: the benchmark gram set is eval-set-sized → broadcast;
+    corpus grams are deduped per-doc LOCALLY (array_distinct on the
+    per-row gram array), so the corpus side is one explode + broadcast
+    join + one hash agg over contamination-sized hits — the corpus is
+    never shuffled on gram."""
+    wc = F.size(F.split(text_col, " "))
+    bgrams = (
+        bench.filter(wc >= n)
+        .select(F.explode(_gram_arr(text_col, n)).alias("g"))
+        .distinct()
+    )
+    cgrams = (
+        corpus.filter(wc >= n)
+        .select(id_col, F.explode(_gram_arr(text_col, n)).alias("g"))
+    )
+    return (
+        cgrams.join(F.broadcast(bgrams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

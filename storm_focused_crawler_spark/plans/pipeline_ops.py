@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from storm_focused_crawler_spark.operators import curation as CU
 from storm_focused_crawler_spark.operators import dedup as D
 from storm_focused_crawler_spark.operators import multimodal as MM
 from storm_focused_crawler_spark.operators import robots as RB
@@ -375,6 +376,170 @@ def sink_text_index(spark, sf_dir):
 def doc_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", D.fingerprint_col(F.col("text")).alias("fp"))
+
+
+# ======================= curation filters ===================================
+# Gopher-style repetition filters, PII detection/redaction, and benchmark
+# decontamination — the three removal passes every public webtext curation
+# recipe applies between dedup and training (Rae et al. 2021 A1.1; Brown
+# et al. 2020 App. C; FineWeb).  All three are pure JVM column/agg plans
+# (no Python in the hot path) with exact DuckDB twins.
+
+
+@op(
+    "text_repetition_gopher",
+    # Gopher A1.1 repetition family: fraction of characters inside the most
+    # frequent word n-gram (n=2,3) and inside duplicated n-grams (here
+    # instantiated at n=3: the synthetic corpus has no within-doc repeats
+    # of length >= 4, so larger n would be vacuous).  The duplicate-mass
+    # variant counts every occurrence (c * len(gram)) — the overlap-free
+    # refinement in the paper needs positional subtraction; both engines
+    # compute this variant identically.
+    """WITH toks AS (SELECT doc_id, len(text) AS nc, string_split(text,' ') AS w
+                     FROM documents),
+    grams AS (
+      SELECT doc_id, n, array_to_string(list_slice(w, i, i + n - 1), ' ') AS g
+      FROM toks, unnest([2,3]) AS ns(n),
+           unnest(generate_series(1, len(w) - n + 1)) AS t(i)
+      WHERE len(w) >= n),
+    cnt AS (SELECT doc_id, n, g, count(*) AS c, len(g) AS gl FROM grams GROUP BY ALL),
+    per AS (
+      SELECT doc_id,
+        max(CASE WHEN n = 2 THEN c * gl END) AS top2,
+        max(CASE WHEN n = 3 THEN c * gl END) AS top3,
+        sum(CASE WHEN n = 3 AND c >= 2 THEN c * gl ELSE 0 END) AS dup3
+      FROM cnt GROUP BY doc_id)
+    SELECT t.doc_id,
+      round(coalesce(per.top2, 0) / CAST(t.nc AS DOUBLE), 6) AS top2gram_char_frac,
+      round(coalesce(per.top3, 0) / CAST(t.nc AS DOUBLE), 6) AS top3gram_char_frac,
+      round(coalesce(per.dup3, 0) / CAST(t.nc AS DOUBLE), 6) AS dup3gram_char_frac,
+      (coalesce(per.top2, 0) / CAST(t.nc AS DOUBLE) <= 0.20
+       AND coalesce(per.top3, 0) / CAST(t.nc AS DOUBLE) <= 0.18
+       AND coalesce(per.dup3, 0) / CAST(t.nc AS DOUBLE) <= 0.10) AS keep
+    FROM toks t LEFT JOIN per USING (doc_id)""",
+)
+def text_repetition_gopher(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021, A1.1 — public spec).
+
+    100 TB shape: one explode + two hash aggregations, all map-side
+    combinable; gram rows never carry `text`, only (doc_id, n, gram),
+    and the per-doc reduce ships exactly one row per doc.  Thresholds
+    top2<=0.20 / top3<=0.18 match the paper; the duplicate rule is
+    instantiated at n=3 (see oracle comment)."""
+    return CU.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+_PII_EMAIL = CU.PII_EMAIL
+_PII_IPV4 = CU.PII_IPV4
+_PII_PHONE = CU.PII_PHONE
+
+
+@op(
+    "pii_detect_redact",
+    # The PII universe is derived deterministically from doc_id (same
+    # pattern as the url/redirect universes): every 7th doc gets an
+    # email / IPv4 / phone tail appended, so detection is non-vacuous
+    # and both engines see byte-identical bodies.  The three patterns
+    # are written in the RE2 ∩ java.util.regex common dialect.
+    rf"""WITH pii AS (
+      SELECT doc_id,
+        text || CASE
+          WHEN doc_id % 7 = 2 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                   || '@mail-example.org now'
+          WHEN doc_id % 7 = 4 THEN ' server at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                   || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' port'
+          WHEN doc_id % 7 = 6 THEN ' call +1-555-'
+                                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                   || ' today'
+          ELSE '' END AS body
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(body, '{_PII_EMAIL}')) AS INT) AS n_email,
+      CAST(len(regexp_extract_all(body, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+      CAST(len(regexp_extract_all(body, '{_PII_PHONE}')) AS INT) AS n_phone,
+      (len(regexp_extract_all(body, '{_PII_EMAIL}'))
+       + len(regexp_extract_all(body, '{_PII_IPV4}'))
+       + len(regexp_extract_all(body, '{_PII_PHONE}'))) > 0 AS has_pii,
+      regexp_replace(regexp_replace(regexp_replace(body,
+        '{_PII_EMAIL}', '<EMAIL>', 'g'),
+        '{_PII_IPV4}', '<IP>', 'g'),
+        '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM pii""",
+)
+def pii_detect_redact(spark, sf_dir):
+    """PII detection + redaction (emails, IPv4, phone numbers), the
+    standard pre-training scrub pass (e.g. FineWeb's PII normalization).
+
+    100 TB shape: pure per-row JVM regex — no shuffle, whole-stage
+    codegen, scales embarrassingly.  Counts via regexp_extract_all
+    group 0 so Spark and DuckDB agree on full-match semantics."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    # derive the non-vacuous PII universe, then run the shared scrub
+    # (operators/curation.pii_scrub) over it
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 2,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@mail-example.org now")),
+        )
+        .when(
+            did % 7 == 4,
+            F.concat(F.lit(" server at 10."), (did % 256).cast("string"),
+                     F.lit(".0."), (did % 100).cast("string"), F.lit(" port")),
+        )
+        .when(
+            did % 7 == 6,
+            F.concat(F.lit(" call +1-555-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0"),
+                     F.lit(" today")),
+        )
+        .otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", body.alias("body"))
+    return CU.pii_scrub(p, "body").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "has_pii",
+        F.col("body").alias("redacted"),
+    )
+
+
+@op(
+    "decontam_ngram",
+    # Benchmark decontamination (Brown et al. 2020 App. C): the held-out
+    # "benchmark" is the deterministic doc_id % 29 == 0 slice; a corpus
+    # doc is contaminated if it shares any word 8-gram with any benchmark
+    # doc.  Output: one row per contaminated corpus doc with its distinct
+    # shared-gram count (non-vacuous at both driver scales: the fixture's
+    # near-dup pairs straddle the benchmark cut).
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+                     WHERE len(string_split(text,' ')) >= 8),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      FROM toks, unnest(generate_series(1, len(w) - 7)) AS t(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+    hits AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN bench USING (g)
+             WHERE gr.doc_id % 29 <> 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM hits GROUP BY doc_id""",
+)
+def decontam_ngram(spark, sf_dir):
+    """Benchmark n-gram decontamination (GPT-3 App. C / standard eval
+    hygiene): drop training docs that share an 8-gram with the eval set.
+
+    100 TB shape: the benchmark side is eval-set-sized by nature, so its
+    distinct 8-gram set is broadcast — the 100 TB corpus side is one
+    explode + broadcast-hash join + one hash agg, never shuffled on
+    gram: per-doc gram dedup happens LOCALLY via array_distinct on the
+    per-row gram array (a doc's grams live in its own input row), so no
+    global distinct shuffle exists; the only corpus shuffle is the
+    final per-doc count over contamination-sized hits."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.decontam_hits(
+        corpus=d.filter(F.col("doc_id") % 29 != 0),
+        bench=d.filter(F.col("doc_id") % 29 == 0),
+        n=8,
+    )
 
 
 # ======================= link graph ========================================

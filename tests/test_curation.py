@@ -1,0 +1,138 @@
+"""Golden + non-vacuity locks for the r5 curation filters
+(text_repetition_gopher, pii_detect_redact, decontam_ngram).
+
+DuckDB value-parity already runs in test_queries_duckdb.py; here each
+op is additionally checked against an INDEPENDENT pure-Python twin
+computed straight from the parquet fixture, and every rule is asserted
+non-vacuous (it actually fires on the corpus) so a regression can't
+hide behind an empty result.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from storm_focused_crawler_spark.plans.pipeline_ops import (
+    _PII_EMAIL,
+    _PII_IPV4,
+    _PII_PHONE,
+    decontam_ngram,
+    pii_detect_redact,
+    text_repetition_gopher,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(sf_dir) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+
+
+# ---------------------------- repetition ------------------------------------
+
+
+def _rep_twin(text: str) -> tuple[float, float, float]:
+    """Pure-Python Gopher A1.1 twin (top-2/3-gram + dup-3-gram mass)."""
+    w = text.split(" ")
+    nc = float(len(text))
+    out = {}
+    for n in (2, 3):
+        grams = Counter(
+            " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+        ) if len(w) >= n else Counter()
+        out[f"top{n}"] = max(
+            (c * len(g) for g, c in grams.items()), default=0
+        ) / nc
+        if n == 3:
+            out["dup3"] = sum(
+                c * len(g) for g, c in grams.items() if c >= 2
+            ) / nc
+    # HALF_UP like Spark's round()/DuckDB's round(), not Python's half-even
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    return r6(out["top2"]), r6(out["top3"]), r6(out["dup3"])
+
+
+def test_repetition_matches_python_twin(spark, sf_dir, docs_pdf):
+    got = {
+        r["doc_id"]: (
+            r["top2gram_char_frac"],
+            r["top3gram_char_frac"],
+            r["dup3gram_char_frac"],
+            r["keep"],
+        )
+        for r in text_repetition_gopher(spark, sf_dir).collect()
+    }
+    assert len(got) == len(docs_pdf)
+    for row in docs_pdf.itertuples():
+        t2, t3, d3 = _rep_twin(row.text)
+        g2, g3, gd, keep = got[row.doc_id]
+        assert (g2, g3, gd) == (t2, t3, d3), row.doc_id
+        assert keep == (t2 <= 0.20 and t3 <= 0.18 and d3 <= 0.10)
+
+
+def test_repetition_rules_fire(spark, sf_dir):
+    rows = text_repetition_gopher(spark, sf_dir).collect()
+    assert any(not r["keep"] for r in rows), "no doc removed — filter vacuous"
+    assert any(r["keep"] for r in rows), "every doc removed — thresholds wrong"
+    assert any(r["dup3gram_char_frac"] > 0 for r in rows), "dup-3 rule vacuous"
+
+
+# ------------------------------- PII ----------------------------------------
+
+
+def test_pii_counts_follow_injection_schedule(spark, sf_dir, docs_pdf):
+    rows = pii_detect_redact(spark, sf_dir).collect()
+    assert len(rows) == len(docs_pdf)
+    for r in rows:
+        m = r["doc_id"] % 7
+        assert r["n_email"] == (1 if m == 2 else 0)
+        assert r["n_ipv4"] == (1 if m == 4 else 0)
+        assert r["n_phone"] == (1 if m == 6 else 0)
+        assert r["has_pii"] == (m in (2, 4, 6))
+    assert sum(r["n_email"] + r["n_ipv4"] + r["n_phone"] for r in rows) > 0
+
+
+def test_pii_redaction_is_complete(spark, sf_dir):
+    """No raw PII survives in the redacted column; placeholders do."""
+    rows = pii_detect_redact(spark, sf_dir).collect()
+    pats = [re.compile(p) for p in (_PII_EMAIL, _PII_IPV4, _PII_PHONE)]
+    seen_tags = set()
+    for r in rows:
+        for p in pats:
+            assert not p.search(r["redacted"]), (r["doc_id"], p.pattern)
+        for tag in ("<EMAIL>", "<IP>", "<PHONE>"):
+            if tag in r["redacted"]:
+                seen_tags.add(tag)
+    assert seen_tags == {"<EMAIL>", "<IP>", "<PHONE>"}
+
+
+# --------------------------- decontamination --------------------------------
+
+
+def _grams8(text: str) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i : i + 8]) for i in range(len(w) - 7)} if len(w) >= 8 else set()
+
+
+def test_decontam_matches_python_twin(spark, sf_dir, docs_pdf):
+    bench = set()
+    for row in docs_pdf.itertuples():
+        if row.doc_id % 29 == 0:
+            bench |= _grams8(row.text)
+    want = {}
+    for row in docs_pdf.itertuples():
+        if row.doc_id % 29 != 0:
+            n = len(_grams8(row.text) & bench)
+            if n:
+                want[row.doc_id] = n
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in decontam_ngram(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0, "no contaminated doc in fixture — op vacuous"
+    assert all(d % 29 != 0 for d in got), "benchmark docs must not self-flag"

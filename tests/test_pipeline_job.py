@@ -65,3 +65,33 @@ def test_pipeline_cluster_vs_pairs_resolution(spark, sf_dir, tmp_path):
         assert (
             D.minhash_lsh_pairs(clean, "doc_id", "text", threshold=0.5).count() == 0
         )
+
+
+def test_pipeline_curation_stages(spark, sf_dir, tmp_path):
+    """r5 stages: repetition gate in the funnel, optional benchmark
+    decontamination, PII scrub columns on the written corpus."""
+    # benchmark = the same deterministic slice the decontam_ngram op uses
+    bench_path = str(tmp_path / "bench")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter(F.col("doc_id") % 29 == 0).write.parquet(bench_path)
+
+    out = str(tmp_path / "clean")
+    s = run_pipeline(
+        spark, f"{sf_dir}/documents.parquet", out,
+        min_quality=0.3, langs={"en"}, jaccard=0.5,
+        benchmark_path=bench_path,
+    )
+    assert s["after_quality"] >= s["after_repetition"] >= s["after_lang"]
+    assert s["after_near_dedup"] >= s["after_decontam"]
+    clean = spark.read.parquet(f"{out}/clean")
+    assert clean.count() == s["after_decontam"]
+    for c in ("n_email", "n_ipv4", "n_phone", "has_pii"):
+        assert c in clean.columns
+    # no survivor shares an 8-gram with the benchmark
+    from storm_focused_crawler_spark.operators import curation as CU
+
+    assert CU.decontam_hits(clean, spark.read.parquet(bench_path)).count() == 0
+    # no repetition-flagged doc survives
+    assert (
+        CU.repetition_metrics(clean).filter(~F.col("keep")).count() == 0
+    )
