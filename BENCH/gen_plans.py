@@ -187,6 +187,21 @@ def main() -> None:
              spark.createDataFrame([("h.ex", 4, 15000)],
                                    "host string, budget int, min_interval_ms int"),
              capacity=64, n_salts=8, max_budget=4)),
+        ("Gopher repetition filter (text_repetition_gopher)",
+         "One Generate (gram explode) + TWO map-side-combinable hash "
+         "aggregates; gram rows carry (doc_id, n, gram) only — the text "
+         "column never crosses an Exchange.",
+         REGISTRY["text_repetition_gopher"][0](spark, SF)),
+        ("PII detect + redact (pii_detect_redact)",
+         "Pure per-row JVM regex inside one WholeStageCodegen span over "
+         "the scan — ZERO Exchange in the whole plan.",
+         REGISTRY["pii_detect_redact"][0](spark, SF)),
+        ("Benchmark n-gram decontamination (decontam_ngram)",
+         "Per-doc gram dedup is LOCAL (array_distinct before the explode), "
+         "so the corpus side reaches the eval-gram BroadcastHashJoin with "
+         "no gram-keyed Exchange; the only corpus shuffle is the final "
+         "per-doc count over contamination-sized hits.",
+         REGISTRY["decontam_ngram"][0](spark, SF)),
         ("Scan pruning (scan_pages)",
          "Projection reaches the parquet scan: ReadSchema carries only the "
          "selected columns.",

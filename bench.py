@@ -47,6 +47,9 @@ HEADLINE = [
     "text_index_postings",
     "graph_host_rank",
     "agg_heavy_hitters",
+    "text_repetition_gopher",
+    "pii_detect_redact",
+    "decontam_ngram",
     "filter_robots_rep",
     "bloom_build_merge",
     "cuckoo_build_merge",

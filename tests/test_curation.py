@@ -136,3 +136,46 @@ def test_decontam_matches_python_twin(spark, sf_dir, docs_pdf):
     assert got == want
     assert len(got) > 0, "no contaminated doc in fixture — op vacuous"
     assert all(d % 29 != 0 for d in got), "benchmark docs must not self-flag"
+
+
+# ---------------------------- plan shapes ------------------------------------
+
+
+def test_pii_plan_has_zero_exchange(spark, sf_dir):
+    """PII scrub must stay a single codegen span over the scan — any
+    Exchange here is a regression (it runs over 100 TB of text)."""
+    df = pii_detect_redact(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_decontam_plan_broadcasts_bench_not_corpus(spark, sf_dir):
+    """The eval-gram side must broadcast; the corpus side must reach the
+    join WITHOUT a gram-keyed Exchange (per-doc dedup is local via
+    array_distinct, not a global distinct shuffle)."""
+    df = decontam_ngram(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # corpus path: the ONLY hashpartitioning on the probe side is the
+    # final per-doc count; no exchange keyed on the gram column alone
+    # feeds the join's streamed side
+    import re
+
+    probe_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "BroadcastExchange" not in ln
+    ]
+    # exactly two hash exchanges total: bench-gram distinct (build side)
+    # + final per-doc aggregate — a third would be the corpus distinct
+    assert len(probe_exchanges) <= 2, plan[:2500]
+
+
+def test_repetition_plan_text_never_crosses_exchange(spark, sf_dir):
+    """Gram rows carry (doc_id, n, gram); the raw text column must not
+    appear in any Exchange of the repetition plan."""
+    df = text_repetition_gopher(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if ln.strip().startswith("+- Exchange") or ln.strip().startswith("Exchange"):
+            assert "text#" not in ln, ln
