@@ -431,3 +431,75 @@ def cluster_keepers(
     # lab stays persisted behind the returned frame; callers running one
     # resolution per job let it age out, long-lived drivers unpersist
     return lab.select(F.col("u").alias("doc_id"), F.col("lab").alias("keeper_id"))
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better" — public spec): per doc, the merged
+    token spans covered by any `window`-token run that occurs >= 2
+    times anywhere in the corpus (including same-doc repeats).  Returns
+    (id, start_tok, end_tok, n_dup_windows), 1-based inclusive.
+
+    The paper uses a suffix array; the relational equivalent is
+    fixed-granularity window matching, in three scale-shaped phases:
+
+    1. SLIM candidate pass: every window ships only (xxhash64, id, i)
+       through the shuffle — 24-byte rows, never the window text (a
+       naive groupBy(window_text) would amplify 100 TB of text ~W×).
+    2. Text verification for CANDIDATES ONLY: flagged (id, i) pairs
+       re-derive their window text by re-slicing the doc's token array
+       (join by id — each doc's array meets only its own flagged rows),
+       then an analytic count over the candidate subset keeps windows
+       whose TEXT truly repeats — hash collisions die here, so the
+       result is exact, not probabilistic.
+    3. Gaps-and-islands span merge per doc (running-max window), one
+       partition-by-id window over dup-sized data.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col), F.split(text_col, " ").alias("w")
+    ).filter(F.size("w") >= window)
+    wins = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {window} + 1),"
+                f" i -> struct(i AS i,"
+                f" xxhash64(concat_ws(' ', slice(w, i, {window}))) AS h))"
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.i").alias("i"), F.col("s.h").alias("h"))
+    cand = wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    flagged = wins.join(cand.select("h"), "h").select(id_col, "i")
+    # re-derive the window text for candidates only (id-keyed join: a
+    # doc's token array meets just its own flagged windows)
+    rederived = flagged.join(toks, id_col).select(
+        id_col, "i",
+        F.expr(f"concat_ws(' ', slice(w, i, {window}))").alias("wtext"),
+    )
+    cw = F.count("*").over(W.partitionBy("wtext"))
+    verified = (
+        rederived.withColumn("cw", cw)
+        .filter(F.col("cw") >= 2)
+        .select(id_col, "i", (F.col("i") + window - 1).alias("e"))
+    )
+    prev = W.partitionBy(id_col).orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    brk = F.when(F.max("e").over(prev) >= F.col("i") - 1, F.lit(0)).otherwise(F.lit(1))
+    isl = verified.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(W.partitionBy(id_col).orderBy("i"))
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("i").cast("long").alias("start_tok"),
+            F.max("e").cast("long").alias("end_tok"),
+            F.count("*").alias("n_dup_windows"),
+        )
+        .drop("island")
+    )

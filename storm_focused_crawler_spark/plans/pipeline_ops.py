@@ -149,6 +149,39 @@ def dedup_cluster_keeper(spark, sf_dir):
     return D.cluster_keepers(pairs)
 
 
+# DuckDB oracle for dedup_substring_exact — the naive group-by-window-
+# text formulation (the engine's slim-hash + candidate-verify phases are
+# an exact refinement; outputs are identical).  Kept OUTSIDE the 50-key
+# driver window; tests/test_curation.py runs the compare explicitly.
+DEDUP_SUBSTRING_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+              WHERE len(string_split(text,' ')) >= 20),
+wins AS (
+  SELECT doc_id, i, array_to_string(list_slice(w, i, i + 19), ' ') AS wtext
+  FROM toks, unnest(generate_series(1, len(w) - 19)) AS t(i)),
+dup AS (SELECT wtext FROM wins GROUP BY wtext HAVING count(*) >= 2),
+flag AS (SELECT doc_id, i, i + 19 AS e FROM wins JOIN dup USING (wtext)),
+isl AS (
+  SELECT doc_id, i, e,
+    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= i - 1
+      THEN 0 ELSE 1 END AS brk
+  FROM flag),
+grp AS (SELECT doc_id, i, e,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island FROM isl)
+SELECT doc_id, CAST(min(i) AS BIGINT) AS start_tok, CAST(max(e) AS BIGINT) AS end_tok,
+       count(*) AS n_dup_windows
+FROM grp GROUP BY doc_id, island"""
+
+
+@op("dedup_substring_exact", None)  # DuckDB-checked via DEDUP_SUBSTRING_ORACLE pytest
+def dedup_substring_exact(spark, sf_dir):
+    """ExactSubstr spans (Lee et al. 2021) at window=20 tokens over the
+    documents corpus — see operators/dedup.exact_substring_spans for
+    the slim-hash candidate + text-verify scale design."""
+    return D.exact_substring_spans(_t(spark, sf_dir, "documents"), window=20)
+
+
 @op("dedup_minhash_lsh", None)  # xxhash64-based sig — pytest-locked, rows-only here
 def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.3)

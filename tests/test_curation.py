@@ -179,3 +179,81 @@ def test_repetition_plan_text_never_crosses_exchange(spark, sf_dir):
     for ln in plan.splitlines():
         if ln.strip().startswith("+- Exchange") or ln.strip().startswith("Exchange"):
             assert "text#" not in ln, ln
+
+
+# ------------------------ exact-substring dedup ------------------------------
+
+
+def test_dedup_substring_exact_matches_duckdb(spark, sf_dir):
+    """Engine (slim-hash + verify) vs the naive DuckDB formulation —
+    outputs must be identical (collisions die in the verify phase)."""
+    import duckdb
+
+    from storm_focused_crawler_spark.plans.pipeline_ops import (
+        DEDUP_SUBSTRING_ORACLE,
+        dedup_substring_exact,
+    )
+
+    sdf = dedup_substring_exact(spark, sf_dir)
+    got = sorted(
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_dup_windows"])
+        for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(DEDUP_SUBSTRING_ORACLE).fetchall()))
+    assert got == want
+    assert len(got) > 0, "no duplicated 20-token run in fixture — op vacuous"
+
+
+def test_dedup_substring_spans_python_twin(spark, sf_dir, docs_pdf):
+    """Independent twin: recompute flagged windows + span merge in pure
+    Python and compare span sets."""
+    W = 20
+    from collections import Counter, defaultdict
+
+    occurrences = Counter()
+    per_doc = {}
+    for row in docs_pdf.itertuples():
+        w = row.text.split(" ")
+        wins = [
+            (i + 1, " ".join(w[i : i + W])) for i in range(len(w) - W + 1)
+        ]
+        per_doc[row.doc_id] = wins
+        for _, t in wins:
+            occurrences[t] += 1
+    want = defaultdict(list)
+    for doc, wins in per_doc.items():
+        flagged = sorted(i for i, t in wins if occurrences[t] >= 2)
+        spans = []
+        for i in flagged:
+            e = i + W - 1
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e), spans[-1][2] + 1)
+            else:
+                spans.append((i, e, 1))
+        for s in spans:
+            want[doc].append(s)
+    from storm_focused_crawler_spark.plans.pipeline_ops import dedup_substring_exact
+
+    got = defaultdict(list)
+    for r in dedup_substring_exact(spark, sf_dir).collect():
+        got[r["doc_id"]].append((r["start_tok"], r["end_tok"], r["n_dup_windows"]))
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+
+
+def test_dedup_substring_slim_shuffle(spark, sf_dir):
+    """The candidate pass must shuffle (hash, id, i) — window TEXT must
+    not appear in the candidate-count Exchange (it would amplify the
+    corpus ~W× through the network at 100 TB)."""
+    from storm_focused_crawler_spark.plans.pipeline_ops import dedup_substring_exact
+
+    plan = dedup_substring_exact(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning(h#" in ln]
+    assert ex, "slim hash candidate exchange missing"
+    assert all("wtext" not in ln for ln in ex)
+    assert "CartesianProduct" not in plan
