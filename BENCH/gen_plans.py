@@ -202,6 +202,14 @@ def main() -> None:
          "no gram-keyed Exchange; the only corpus shuffle is the final "
          "per-doc count over contamination-sized hits.",
          REGISTRY["decontam_ngram"][0](spark, SF)),
+        ("ExactSubstr dedup (dedup_substring_exact)",
+         "The candidate Exchange ships (xxhash64, doc_id, i) ONLY — window "
+         "text never crosses the shuffle (a groupBy(window_text) would "
+         "amplify the corpus ~W× through the network); flagged windows "
+         "re-derive their text by an id-keyed join against the doc's own "
+         "token array, and the exactness-restoring verify is one analytic "
+         "count over the candidate subset.",
+         REGISTRY["dedup_substring_exact"][0](spark, SF)),
         ("Scan pruning (scan_pages)",
          "Projection reaches the parquet scan: ReadSchema carries only the "
          "selected columns.",

@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_cluster_keeper",
     "dedup_embedding_cosine",
     "dedup_simhash",
+    "dedup_substring_exact",
     "sim_knn_cosine",
     "sim_knn_ivf",
     "sim_knn_lsh",
