@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from storm_focused_crawler_spark.functions.udfs import tokens_col
+
 PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
@@ -136,4 +138,112 @@ def decontam_hits(
         cgrams.join(F.broadcast(bgrams), "g")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def lm_bigram_counts(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train-side tables of the CCNet-style bigram LM (Wenzek et al.
+    2020 trains a KenLM on a clean reference corpus and buckets the
+    crawl by perplexity; the relational instantiation is an
+    interpolated bigram model, exactly spec-able in SQL).
+
+    Returns (unigrams(w, c1), bigrams(w1, w2, c2)) over the reference
+    frame — two hash aggregations off per-row gram arrays.  At 100 TB
+    the reference slice is Wikipedia-sized by construction (the model
+    is deliberately trained on a small clean corpus), so both tables
+    are dim-like relative to the crawl being scored."""
+    toks = ref.select(tokens_col(F.col(text_col)).alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    " element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    return uni, bi
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    n_total: int,
+    vocab: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+) -> DataFrame:
+    """Per-doc perplexity under the interpolated bigram LM + CCNet
+    head/middle/tail bucket.
+
+      p(w2|w1) = lam * c2(w1,w2)/c1(w1)  +  (1-lam) * (c1(w2)+1)/(N+V)
+
+    (the backoff term is add-1 unigram, so p > 0 for unseen words);
+    ppl = exp(-mean ln p) over the doc's consecutive token pairs,
+    rounded to 6 dp.  Buckets are exact tertiles by ntile(3) ordered
+    (ppl, id) — head = most reference-like.  ntile is row-count based,
+    so Spark and DuckDB agree bit-for-bit (no quantile interpolation).
+
+    100 TB shape: the LM tables join by gram key (broadcast when they
+    fit, shuffle-hash otherwise — they are reference-corpus-sized, not
+    crawl-sized); scoring is one explode + three joins + one per-doc
+    agg.  The ntile is a single global sort over DOC-level rows (3-4
+    orders of magnitude fewer than tokens); a deployment scoring an
+    unbounded stream would freeze thresholds from a calibration run
+    instead — the bucketing rule itself is the spec here.
+    """
+    from pyspark.sql import Window as W
+
+    pairs = (
+        docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    " element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    scored = (
+        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1"))), "w1", "left")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))), "w2", "left")
+        .withColumn(
+            "p",
+            F.lit(lam)
+            * F.coalesce(F.col("c2") / F.col("c1_w1"), F.lit(0.0))
+            + F.lit(1.0 - lam)
+            * (F.coalesce(F.col("c1_w2"), F.lit(0)) + F.lit(1.0))
+            / F.lit(float(n_total + vocab)),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.exp(-F.avg(F.log("p"))), 6).alias("ppl"),
+        F.count("*").alias("n_bigrams"),
+    )
+    tile = F.ntile(3).over(W.orderBy("ppl", id_col))
+    return per_doc.select(
+        id_col, "ppl", "n_bigrams",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
+        ).alias("bucket"),
     )

@@ -60,3 +60,60 @@ def search(
         .agg(F.round(F.sum("tfidf"), 6).alias("score"), F.count("*").alias("n_terms"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc").asc()).limit(k)
+
+
+def search_bm25(
+    spark: SparkSession,
+    post: DataFrame,
+    tdf: DataFrame,
+    doc_len: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k docs by Okapi BM25 (Robertson & Zaragoza 2009) over the
+    postings table:
+
+      idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+      s(d)    = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    rounded to 6 dp; deterministic order (score desc, doc asc).
+    *doc_len* is (doc, dl).  100 TB shape: the query-term and df
+    tables broadcast into the postings scan (a semi-join that prunes
+    the inverted lists BEFORE anything shuffles); dl joins on the doc
+    key of the already-pruned hits; one per-doc hash agg + a bounded
+    top-k window — the corpus text is never touched."""
+    from pyspark.sql import Window as W
+
+    q = spark.createDataFrame([(t,) for t in terms], "token string")
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        post.join(F.broadcast(q), "token")
+        .join(F.broadcast(tdf), "token")
+        .join(doc_len, "doc")
+        .withColumn(
+            "s",
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("doc")
+        .agg(F.round(F.sum("s"), 6).alias("score"), F.count("*").alias("n_terms"))
+    )
+    rn = F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc")))
+    return (
+        scored.withColumn("rn", rn).filter(F.col("rn") <= k).drop("rn")
+    )
+
+
+def doc_lengths(df: DataFrame, doc_col: str, text_col: str) -> DataFrame:
+    """(doc, dl) token counts with the index's tokenizer."""
+    return df.select(
+        F.col(doc_col).alias("doc"),
+        F.size(tokens_col(F.col(text_col))).alias("dl"),
+    )

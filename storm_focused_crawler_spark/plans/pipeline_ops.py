@@ -405,6 +405,105 @@ def sink_text_index(spark, sf_dir):
                      terms=["the", "data", "spark"], k=10)
 
 
+# BM25 ranked retrieval over the inverted index (Robertson & Zaragoza
+# 2009).  Oracle kept OUTSIDE the 50-key driver window (float math is
+# round(6)-healed; tests/test_text_rank.py runs the compare).
+BM25_TERMS = ["data", "spark", "merge", "window"]
+RANK_BM25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents),
+p AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+tdf AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT sum(dl) / count(*) FROM dl) AS avgdl),
+q AS (SELECT unnest(['data', 'spark', 'merge', 'window']) AS token),
+s AS (
+  SELECT p.doc_id,
+    ln(1.0 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+      * (p.tf * (1.2 + 1.0))
+      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM p JOIN q USING (token) JOIN tdf USING (token)
+         JOIN dl USING (doc_id) CROSS JOIN stats),
+sc AS (SELECT doc_id, round(sum(s), 6) AS score, count(*) AS n_terms
+       FROM s GROUP BY 1)
+SELECT doc_id, score, n_terms FROM sc
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 15"""
+
+
+@op("rank_bm25", None)  # DuckDB-checked via RANK_BM25_ORACLE pytest
+def rank_bm25(spark, sf_dir):
+    """Okapi BM25 top-15 for a fixed query over the inverted index —
+    the ranked-retrieval half of the reference's Solr role ([R]
+    TextIndexerBolt serving side), relationally (operators/
+    text_index.search_bm25): query + df broadcast-prune the postings,
+    one per-doc agg, bounded top-k window."""
+    from storm_focused_crawler_spark.operators import text_index as TI
+
+    d = _t(spark, sf_dir, "documents")
+    post = TI.postings(d, "doc_id", "text")
+    dl = TI.doc_lengths(d, "doc_id", "text")
+    n_docs = d.count()
+    tot = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
+    avgdl = tot["s"] / tot["c"]
+    out = TI.search_bm25(spark, post, TI.token_df(post), dl, n_docs, avgdl,
+                         BM25_TERMS)
+    return out.select(F.col("doc").alias("doc_id"), "score", "n_terms")
+
+
+# CCNet-style LM-perplexity quality bucketing (Wenzek et al. 2020):
+# an interpolated bigram LM trained on the deterministic doc_id % 5
+# reference slice scores every doc; exact tertiles (ntile — row-count
+# based, so cross-engine exact) give head/middle/tail.  Oracle kept
+# OUTSIDE the 50-key driver window; tests/test_text_rank.py compares.
+QUALITY_LM_PPL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents),
+uni AS (
+  SELECT u AS w, count(*) AS c1
+  FROM (SELECT unnest(w) AS u FROM toks WHERE doc_id % 5 = 0) GROUP BY 1),
+stats AS (SELECT sum(c1) AS n, count(*) AS v FROM uni),
+bi AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c2
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE doc_id % 5 = 0 AND len(w) >= 2 GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2),
+pp AS (
+  SELECT doc_id,
+    0.9 * coalesce(bi.c2 / u1.c1, 0.0)
+    + ((1.0 - 0.9) * (coalesce(u2.c1, 0) + 1.0)) / (stats.n + stats.v) AS p
+  FROM pairs
+  LEFT JOIN bi USING (w1, w2)
+  LEFT JOIN uni u1 ON pairs.w1 = u1.w
+  LEFT JOIN uni u2 ON pairs.w2 = u2.w
+  CROSS JOIN stats),
+per AS (
+  SELECT doc_id, round(exp(-avg(ln(p))), 6) AS ppl,
+         count(*) AS n_bigrams
+  FROM pp GROUP BY doc_id)
+SELECT doc_id, ppl, n_bigrams,
+  (['head', 'middle', 'tail'])[ntile(3) OVER (ORDER BY ppl, doc_id)] AS bucket
+FROM per"""
+
+
+@op("quality_lm_perplexity", None)  # DuckDB-checked via pytest twin
+def quality_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity bucketing (operators/curation.
+    lm_perplexity): interpolated bigram LM over the doc_id % 5
+    reference slice, per-doc ppl + head/middle/tail tertile."""
+    d = _t(spark, sf_dir, "documents")
+    uni, bi = CU.lm_bigram_counts(d.filter(F.col("doc_id") % 5 == 0))
+    st = uni.agg(F.sum("c1").alias("n"), F.count("*").alias("v")).collect()[0]
+    return CU.lm_perplexity(d, uni, bi, int(st["n"]), int(st["v"]))
+
+
 @op("doc_fingerprint", None)  # xxhash64 rolling hash — pytest-locked vs fingerprint_py
 def doc_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
