@@ -6,11 +6,15 @@ a documents table, built entirely from this repo's registry operators:
 
     quality filter (text_quality_score)
   → repetition filter (operators/curation, Gopher A1.1 fractions)
+  → LM-perplexity gate (optional --ppl-drop, CCNet-style tertile
+    buckets via operators/curation.lm_perplexity)
   → language ID + gate (functions/langid, char 1-3-gram profiles)
   → exact dedup (keep min doc_id per identical text)
   → near-dup removal (MinHash-LSH verified pairs → resolution rule)
   → benchmark decontamination (optional --benchmark parquet, GPT-3
     App. C word-8-gram rule via operators/curation.decontam_hits)
+  → ExactSubstr scrub (optional --substr-scrub, Lee et al. 2021:
+    corpus-duplicated 20-token spans removed from surviving text)
   → PII scrub (emails/IPv4/phones redacted in the surviving text)
   → inverted-index build (operators/text_index postings + token_df)
 
@@ -59,13 +63,23 @@ def parse_args(argv=None):
     ap.add_argument("--benchmark", default=None,
                     help="parquet of eval docs (text column) to decontaminate "
                     "against; omitted = stage skipped")
+    ap.add_argument("--ppl-drop", choices=("none", "tail", "middle+tail"),
+                    default="none",
+                    help="CCNet-style LM-perplexity gate: drop these tertile "
+                    "buckets (LM trained on the doc_id%%5 slice of the "
+                    "already-gated corpus); none = stage skipped")
+    ap.add_argument("--substr-scrub", action="store_true",
+                    help="ExactSubstr pass (Lee et al. 2021): remove 20-token "
+                    "spans duplicated >=2x corpus-wide from surviving text")
     return ap.parse_args(argv)
 
 
 def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
                  langs: set[str], jaccard: float,
                  dedup_resolution: str = "clusters",
-                 benchmark_path: str | None = None) -> dict:
+                 benchmark_path: str | None = None,
+                 ppl_drop: str = "none",
+                 substr_scrub: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from storm_focused_crawler_spark.functions import langid as L
@@ -100,6 +114,22 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
     n_repetition = q2.count()
     q.unpersist()
     q = q2
+
+    # 1c. CCNet-style perplexity gate (optional): bucket by bigram-LM
+    # perplexity (operators/curation.lm_perplexity, LM trained on the
+    # deterministic doc_id%5 slice of the gated corpus) and drop the
+    # requested tertiles
+    n_ppl = None
+    if ppl_drop != "none":
+        drop = {"tail"} if ppl_drop == "tail" else {"middle", "tail"}
+        uni, bi = CU.lm_bigram_counts(q.filter(F.col("doc_id") % 5 == 0))
+        st = uni.agg(F.sum("c1").alias("n"), F.count("*").alias("v")).collect()[0]
+        buckets = CU.lm_perplexity(q, uni, bi, int(st["n"]), int(st["v"]))
+        keep_ids = buckets.filter(~F.col("bucket").isin(*drop)).select("doc_id")
+        q2 = q.join(keep_ids, "doc_id").persist()
+        n_ppl = q2.count()
+        q.unpersist()
+        q = q2
 
     # 2. language gate on PREDICTED language (labels may be absent/wrong);
     # classify_arrow = single-pass scorer, no gram-explode shuffle
@@ -139,6 +169,16 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
         clean.unpersist()
         clean = clean2
 
+    # 4b2. ExactSubstr scrub (optional, Lee et al. 2021): remove
+    # 20-token spans duplicated >=2x across the SURVIVING corpus from
+    # the text itself (span discovery = slim-hash candidates + text
+    # verify; removal = per-row position filter)
+    n_substr_docs = None
+    if substr_scrub:
+        spans = D.exact_substring_spans(clean, window=20)
+        n_substr_docs = spans.select("doc_id").distinct().count()
+        clean = D.exact_substring_scrub(clean, spans)
+
     # 4c. PII scrub: redact emails/IPv4/phones in the surviving text
     # (per-row codegen, no shuffle); keep the per-doc counts as columns
     clean = CU.pii_scrub(clean, "text")
@@ -162,8 +202,12 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
         "dedup_resolution": dedup_resolution,
         "out": out,
     }
+    if n_ppl is not None:
+        summary["after_ppl_gate"] = n_ppl
     if n_decontam is not None:
         summary["after_decontam"] = n_decontam
+    if n_substr_docs is not None:
+        summary["substr_scrubbed_docs"] = n_substr_docs
     return summary
 
 
@@ -182,6 +226,8 @@ def main(argv=None) -> int:
         set(args.langs.split(",")), args.jaccard,
         dedup_resolution=args.dedup_resolution,
         benchmark_path=args.benchmark,
+        ppl_drop=args.ppl_drop,
+        substr_scrub=args.substr_scrub,
     )
     print(json.dumps(summary))
     spark.stop()

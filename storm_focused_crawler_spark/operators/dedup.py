@@ -503,3 +503,40 @@ def exact_substring_spans(
         )
         .drop("island")
     )
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the duplicated spans found by exact_substring_spans from
+    each doc's text (the removal step of Lee et al. 2021 — the paper
+    deletes one copy of every duplicated substring; this deletes the
+    flagged spans, keeping the first-seen copy intact because spans
+    only cover windows whose text occurs >= 2 times and the merge is
+    per-doc).  Docs with no flagged span pass through unchanged.
+
+    100 TB shape: spans collect to ONE array per flagged doc (dup-sized
+    hash agg), join back by id (no text through that shuffle — the doc
+    side keeps its text local to the join's probe side), and the token
+    drop is a per-row JVM filter over positions."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    w = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        F.transform(w, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s["i"] >= sp["start_tok"]) & (s["i"] <= sp["end_tok"]),
+        ),
+    )
+    out = df.join(per_doc, id_col, "left")
+    return out.withColumn(
+        text_col,
+        F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+            F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+        ),
+    ).drop("_spans")

@@ -257,3 +257,46 @@ def test_dedup_substring_slim_shuffle(spark, sf_dir):
     assert ex, "slim hash candidate exchange missing"
     assert all("wtext" not in ln for ln in ex)
     assert "CartesianProduct" not in plan
+
+
+def test_exact_substring_scrub_python_twin(spark, sf_dir, docs_pdf):
+    """Scrub = drop exactly the tokens inside flagged spans (1-based
+    inclusive); docs without spans pass through byte-identical."""
+    from storm_focused_crawler_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = D.exact_substring_spans(docs, window=20)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in D.exact_substring_scrub(docs, spans).collect()
+    }
+    span_rows = spans.collect()
+    by_doc = {}
+    for r in span_rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["start_tok"], r["end_tok"]))
+    for row in docs_pdf.itertuples():
+        if row.doc_id not in by_doc:
+            assert got[row.doc_id] == row.text
+            continue
+        w = row.text.split(" ")
+        keep = [
+            t for i, t in enumerate(w, start=1)
+            if not any(s <= i <= e for s, e in by_doc[row.doc_id])
+        ]
+        assert got[row.doc_id] == " ".join(keep), row.doc_id
+    assert by_doc, "no doc scrubbed — fixture vacuous for the scrub"
+
+
+def test_exact_substring_scrub_plan_broadcasts_spans(spark, sf_dir):
+    """The span table (dup-sized) must broadcast into the corpus —
+    the corpus text never crosses an Exchange for the scrub itself."""
+    from storm_focused_crawler_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = D.exact_substring_spans(docs, window=20)
+    plan = (
+        D.exact_substring_scrub(docs, spans)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

