@@ -210,6 +210,18 @@ def main() -> None:
          "token array, and the exactness-restoring verify is one analytic "
          "count over the candidate subset.",
          REGISTRY["dedup_substring_exact"][0](spark, SF)),
+        ("BM25 ranked retrieval (rank_bm25)",
+         "Query terms and the df table broadcast into the postings "
+         "stream — the inverted lists are pruned BEFORE any exchange "
+         "of corpus-sized data; one per-doc hash agg + a bounded "
+         "top-k window; the corpus text is never touched.",
+         REGISTRY["rank_bm25"][0](spark, SF)),
+        ("Bigram-LM perplexity bucketing (quality_lm_perplexity)",
+         "The LM tables (reference-slice-sized) broadcast into the "
+         "pair stream; scoring is one explode + three BroadcastHashJoins "
+         "+ one per-doc agg.  The only global sort is the ntile over "
+         "DOC-level rows — 3-4 orders of magnitude fewer than tokens.",
+         REGISTRY["quality_lm_perplexity"][0](spark, SF)),
         ("Scan pruning (scan_pages)",
          "Projection reaches the parquet scan: ReadSchema carries only the "
          "selected columns.",

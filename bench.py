@@ -46,6 +46,8 @@ HEADLINE = [
     "lang_id_trigram",
     "topic_classify_nb",
     "text_index_postings",
+    "rank_bm25",
+    "quality_lm_perplexity",
     "graph_host_rank",
     "agg_heavy_hitters",
     "text_repetition_gopher",

@@ -111,9 +111,8 @@ def search_bm25(
     )
 
 
-def doc_lengths(df: DataFrame, doc_col: str, text_col: str) -> DataFrame:
-    """(doc, dl) token counts with the index's tokenizer."""
-    return df.select(
-        F.col(doc_col).alias("doc"),
-        F.size(tokens_col(F.col(text_col))).alias("dl"),
-    )
+def doc_lengths(post: DataFrame) -> DataFrame:
+    """(doc, dl) token counts OFF THE POSTINGS TABLE (dl = sum of term
+    frequencies — identical to tokenizing the text again, without the
+    second corpus scan)."""
+    return post.groupBy("doc").agg(F.sum("tf").alias("dl"))

@@ -443,8 +443,10 @@ def rank_bm25(spark, sf_dir):
     from storm_focused_crawler_spark.operators import text_index as TI
 
     d = _t(spark, sf_dir, "documents")
-    post = TI.postings(d, "doc_id", "text")
-    dl = TI.doc_lengths(d, "doc_id", "text")
+    # ONE corpus tokenize pass: postings persist; dl and df both derive
+    # from the persisted aggregate, never from the text again
+    post = TI.postings(d, "doc_id", "text").persist()
+    dl = TI.doc_lengths(post)
     n_docs = d.count()
     tot = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
     avgdl = tot["s"] / tot["c"]
@@ -500,6 +502,7 @@ def quality_lm_perplexity(spark, sf_dir):
     reference slice, per-doc ppl + head/middle/tail tertile."""
     d = _t(spark, sf_dir, "documents")
     uni, bi = CU.lm_bigram_counts(d.filter(F.col("doc_id") % 5 == 0))
+    uni, bi = uni.persist(), bi.persist()  # dim-sized; built once
     st = uni.agg(F.sum("c1").alias("n"), F.count("*").alias("v")).collect()[0]
     return CU.lm_perplexity(d, uni, bi, int(st["n"]), int(st["v"]))
 
