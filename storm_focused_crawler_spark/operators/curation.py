@@ -247,3 +247,77 @@ def lm_perplexity(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
         ).alias("bucket"),
     )
+
+
+def url_blocklist_filter(
+    urls: DataFrame,
+    blocked_hosts: list[str],
+    banned_terms: list[tuple[str, float]],
+    threshold: float = 1.0,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """RefinedWeb-style URL gate (Penedo et al. 2023 §Document prep):
+    drop documents whose host is on an explicit blocklist OR whose URL
+    accumulates >= *threshold* of soft banned-term weight (each banned
+    substring contributes its weight once if present).
+
+    Adds host_blocked / badword_score / keep.  100 TB shape: the
+    blocklist is dim-sized → broadcast left-semi-ish join marks hosts;
+    the term score is a per-row JVM fold in whole-stage codegen — the
+    corpus never shuffles for this gate."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    bl = spark.createDataFrame([(h,) for h in blocked_hosts], f"{host_col} string")
+    score = None
+    for term, w in banned_terms:
+        c = F.when(F.col(url_col).contains(term), F.lit(w)).otherwise(F.lit(0.0))
+        score = c if score is None else score + c
+    marked = urls.join(
+        F.broadcast(bl.withColumn("_blk", F.lit(True))), host_col, "left"
+    )
+    return (
+        marked.withColumn("host_blocked", F.coalesce(F.col("_blk"), F.lit(False)))
+        .withColumn("badword_score", score)
+        .withColumn(
+            "keep",
+            ~F.col("host_blocked") & (F.col("badword_score") < F.lit(threshold)),
+        )
+        .drop("_blk")
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    keep each row of stratum s with rate rates[s] (default_rate
+    otherwise), decided by integer arithmetic on the id — fully
+    reproducible across engines and runs (Knuth multiplicative hash
+    mod 1000 vs rate*1000; no RNG state anywhere).
+
+    100 TB shape: a broadcast rate join + one per-row integer
+    predicate; no shuffle, no sampling skew (the hash decorrelates ids
+    from the strata)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    rt = spark.createDataFrame(
+        [(s, int(round(r * 1000))) for s, r in rates.items()],
+        f"{strata_col} string, _permille int",
+    )
+    bucket = ((F.col(id_col) * F.lit(2654435761)) % 1000).cast("int")
+    return (
+        df.join(F.broadcast(rt), strata_col, "left")
+        .withColumn(
+            "_permille",
+            F.coalesce(F.col("_permille"), F.lit(int(round(default_rate * 1000)))),
+        )
+        .filter(bucket < F.col("_permille"))
+        .drop("_permille")
+    )

@@ -1055,3 +1055,64 @@ def agg_heavy_hitters(spark, sf_dir):
     from storm_focused_crawler_spark.operators import sketches as SK
 
     return SK.heavy_hitters(_urls(spark, sf_dir), "host", k=256, top=64)
+
+
+# ===================== URL gate + training-mix sampling =====================
+# RefinedWeb-style URL filtering and deterministic stratified sampling.
+# Oracles kept OUTSIDE the 50-key driver window; tests/test_curation.py
+# runs the driver-identical compares.
+
+BLOCKED_HOSTS = [
+    "h003.example-org", "h011.example-net",
+    "h017.example-net", "h025.example-org",
+]
+BANNED_URL_TERMS = [("/p3", 1.0), ("/p5", 0.6), ("example-net", 0.5)]
+
+FILTER_URL_BLOCKLIST_ORACLE = f"""
+WITH {URLS_CTE}
+SELECT doc_id, url, host,
+  host IN ('h003.example-org', 'h011.example-net',
+           'h017.example-net', 'h025.example-org') AS host_blocked,
+  (CASE WHEN contains(url, '/p3') THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+   + CASE WHEN contains(url, '/p5') THEN CAST(0.6 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+   + CASE WHEN contains(url, 'example-net') THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+    AS badword_score,
+  (NOT host IN ('h003.example-org', 'h011.example-net',
+                'h017.example-net', 'h025.example-org'))
+  AND (CASE WHEN contains(url, '/p3') THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+       + CASE WHEN contains(url, '/p5') THEN CAST(0.6 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+       + CASE WHEN contains(url, 'example-net') THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) < 1.0
+    AS keep
+FROM urls"""
+
+
+@op("filter_url_blocklist", None)  # DuckDB-checked via pytest (test_curation)
+def filter_url_blocklist(spark, sf_dir):
+    """RefinedWeb-style URL gate (operators/curation.
+    url_blocklist_filter): explicit host blocklist + weighted soft
+    banned-term score with threshold 1.0 over the url universe."""
+    u = _urls(spark, sf_dir).select("doc_id", "url", "host")
+    return CU.url_blocklist_filter(
+        u, BLOCKED_HOSTS, BANNED_URL_TERMS, threshold=1.0
+    ).select("doc_id", "url", "host", "host_blocked", "badword_score", "keep")
+
+
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+SAMPLE_DEFAULT = 0.75
+
+SAMPLE_STRATIFIED_ORACLE = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 1000 <
+  CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+              WHEN 'src2' THEN 250 WHEN 'src3' THEN 100 ELSE 750 END"""
+
+
+@op("sample_stratified_sources", None)  # DuckDB-checked via pytest
+def sample_stratified_sources(spark, sf_dir):
+    """Deterministic per-source training-mix sampling (operators/
+    curation.sample_stratified): Knuth multiplicative hash of the id
+    vs a per-stratum permille rate — RNG-free, engine-exact."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return CU.sample_stratified(d, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT).select(
+        "doc_id", "source", "n_chars"
+    )

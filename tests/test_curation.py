@@ -300,3 +300,84 @@ def test_exact_substring_scrub_plan_broadcasts_spans(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ----------------- URL blocklist gate + stratified sampling ------------------
+
+
+def _duck_urls(sf_dir, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con.execute(sql).fetchall()
+
+
+def test_url_blocklist_matches_duckdb(spark, sf_dir):
+    from storm_focused_crawler_spark.plans.pipeline_ops import (
+        FILTER_URL_BLOCKLIST_ORACLE,
+        filter_url_blocklist,
+    )
+
+    got = sorted(map(tuple, filter_url_blocklist(spark, sf_dir).collect()))
+    want = sorted(map(tuple, _duck_urls(sf_dir, FILTER_URL_BLOCKLIST_ORACLE)))
+    assert got == want
+    # non-vacuous in all three dimensions
+    blocked = [r for r in got if r[3]]
+    soft = [r for r in got if not r[3] and not r[5]]
+    kept = [r for r in got if r[5]]
+    assert blocked and soft and kept
+    # accumulation actually fires: some doc crosses 1.0 only via >=2 terms
+    assert any(abs(r[4] - 1.1) < 1e-9 for r in got)
+
+
+def test_url_blocklist_plan_no_corpus_shuffle(spark, sf_dir):
+    """Blocklist broadcast + per-row codegen: the url universe never
+    crosses an Exchange for the gate."""
+    from storm_focused_crawler_spark.plans.pipeline_ops import filter_url_blocklist
+
+    plan = (
+        filter_url_blocklist(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_sample_stratified_matches_duckdb(spark, sf_dir):
+    from storm_focused_crawler_spark.plans.pipeline_ops import (
+        SAMPLE_STRATIFIED_ORACLE,
+        sample_stratified_sources,
+    )
+
+    got = sorted(map(tuple, sample_stratified_sources(spark, sf_dir).collect()))
+    want = sorted(map(tuple, _duck_urls(sf_dir, SAMPLE_STRATIFIED_ORACLE)))
+    assert got == want
+
+
+def test_sample_stratified_rates_and_determinism(spark, sf_dir):
+    """Kept fraction per stratum tracks its configured rate (exact set
+    equality with the python twin — no RNG anywhere)."""
+    from storm_focused_crawler_spark.plans.pipeline_ops import (
+        SAMPLE_DEFAULT,
+        SAMPLE_RATES,
+        sample_stratified_sources,
+    )
+
+    kept = {r["doc_id"] for r in sample_stratified_sources(spark, sf_dir).collect()}
+    full_pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "source"]]
+    want = set()
+    per_src_total: dict[str, int] = {}
+    per_src_kept: dict[str, int] = {}
+    for row in full_pdf.itertuples():
+        rate = SAMPLE_RATES.get(row.source, SAMPLE_DEFAULT)
+        per_src_total[row.source] = per_src_total.get(row.source, 0) + 1
+        if (row.doc_id * 2654435761) % 1000 < round(rate * 1000):
+            want.add(row.doc_id)
+            per_src_kept[row.source] = per_src_kept.get(row.source, 0) + 1
+    assert kept == want
+    # src0 keeps everything; rate-limited strata keep strictly less
+    assert per_src_kept.get("src0", 0) == per_src_total["src0"]
+    assert per_src_kept.get("src3", 0) < per_src_total["src3"]
