@@ -1116,3 +1116,32 @@ def sample_stratified_sources(spark, sf_dir):
     return CU.sample_stratified(d, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT).select(
         "doc_id", "source", "n_chars"
     )
+
+
+@op("source_warc_lite", None)  # DuckDB-checked via pytest (tests/test_warc.py)
+def source_warc_lite(spark, sf_dir):
+    """WARC-lite ingestion (sources/warc.py): synthesize a deterministic
+    archive from the documents table (driver-side, fixture-sized — a
+    real archive arrives pre-written), then parse it back through the
+    splittable lineSep text read.  Output is the parsed record table."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from storm_focused_crawler_spark.sources import warc as WR
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+        ["doc_id", "text"]
+    ].sort_values("doc_id")
+    rows = [
+        (
+            f"https://h{int(d) % 40:03d}.example-warc/d{int(d)}",
+            f"2024-01-{(int(d) % 28) + 1:02d}T12:{int(d) % 60:02d}:00Z",
+            t,
+        )
+        for d, t in zip(pdf["doc_id"], pdf["text"])
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="sfc_warc_"), "part0.warc")
+    WR.write_warc_lite(rows, path)
+    return WR.read_warc_lite(spark, path)
