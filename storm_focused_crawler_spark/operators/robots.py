@@ -337,3 +337,20 @@ def rep_filter(urls: DataFrame, rules: DataFrame, path: Column,
     grouped = rules_by_host(rules)
     joined = urls.join(F.broadcast(grouped), host_col, "left")
     return joined.filter(rep_allowed(path, F.col("rules"))).drop("rules")
+
+
+def extract_sitemaps(df: DataFrame, host_col: str = "host",
+                     content_col: str = "content") -> DataFrame:
+    """(host, sitemap_url) from raw robots bodies — the `Sitemap:`
+    directive is group-independent (sitemaps.org protocol / RFC 9309
+    §2.2.4 "other records"), so this reads every occurrence regardless
+    of user-agent groups, case-insensitively.
+
+    One per-row JVM regexp_extract_all + explode over dim-sized robots
+    bodies — no shuffle."""
+    hits = F.regexp_extract_all(
+        F.col(content_col), F.lit(r"(?im)^sitemap:\s*(\S+)\s*$"), F.lit(1)
+    )
+    return df.select(
+        F.col(host_col), F.explode(hits).alias("sitemap_url")
+    )

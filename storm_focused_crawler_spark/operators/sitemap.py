@@ -1,0 +1,34 @@
+"""Sitemap XML parsing (sitemaps.org protocol, the public spec the
+reference's URL-discovery path would consume): <urlset> bodies parsed
+to (loc, lastmod, priority) rows for frontier seeding.
+
+Spark-first: the sitemap table is dim-sized (one body per sitemap
+URL); parsing is regexp_extract_all over the body + one explode —
+pure JVM, no custom XML reader, no shuffle.  Missing <priority>
+defaults to 0.5 per the protocol; missing <lastmod> stays null.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_sitemap_xml(df: DataFrame, host_col: str = "host",
+                      body_col: str = "body") -> DataFrame:
+    """(host, loc, lastmod, priority) from <urlset> bodies."""
+    blocks = F.regexp_extract_all(
+        F.col(body_col), F.lit(r"<url>(.*?)</url>"), F.lit(1)
+    )
+    b = df.select(F.col(host_col), F.explode(blocks).alias("u"))
+    loc = F.regexp_extract("u", r"<loc>([^<]*)</loc>", 1)
+    lastmod = F.regexp_extract("u", r"<lastmod>([^<]*)</lastmod>", 1)
+    prio = F.regexp_extract("u", r"<priority>([^<]*)</priority>", 1)
+    return b.select(
+        host_col,
+        loc.alias("loc"),
+        F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+        F.coalesce(
+            F.when(prio == "", None).otherwise(prio).cast("double"), F.lit(0.5)
+        ).alias("priority"),
+    ).filter(F.col("loc") != "")

@@ -1145,3 +1145,60 @@ def source_warc_lite(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="sfc_warc_"), "part0.warc")
     WR.write_warc_lite(rows, path)
     return WR.read_warc_lite(spark, path)
+
+
+# ================= sitemap discovery (sitemaps.org protocol) ================
+
+
+@op("parse_robots_sitemaps", None)  # python-twin + DuckDB regex-dialect pytest
+def parse_robots_sitemaps(spark, sf_dir):
+    """Group-independent `Sitemap:` extraction from raw robots bodies
+    (operators/robots.extract_sitemaps): the same synthetic bodies the
+    group-selection ops parse, with two appended sitemap lines per
+    robot (one lowercase-key to exercise case-insensitivity).  The
+    directive lines are dropped by the rule classifier, so appending
+    them is parse-neutral for parse_robots_txt (pytest-locked)."""
+    rid = F.col("robot_id").cast("string")
+    bodies = _robots_bodies(spark, sf_dir).withColumn(
+        "content",
+        F.concat(
+            "content",
+            F.lit("\nSitemap: https://r"), rid, F.lit(".example/s"), rid,
+            F.lit(".xml\nsitemap: https://r"), rid, F.lit(".example/extra.xml"),
+        ),
+    )
+    return RB.extract_sitemaps(bodies, host_col="robot_id")
+
+
+@op("parse_sitemap_xml", None)  # DuckDB expected-output oracle via pytest
+def parse_sitemap_xml_op(spark, sf_dir):
+    """<urlset> sitemap parsing (operators/sitemap.parse_sitemap_xml)
+    over deterministic synthetic bodies — 3 urls per sitemap, with
+    lastmod/priority selectively omitted to exercise the protocol
+    defaults (missing priority = 0.5, missing lastmod = null)."""
+    from storm_focused_crawler_spark.operators import sitemap as SM
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5).alias("h")
+    ).distinct()
+    hs = F.col("h").cast("string")
+
+    def block(j: int):
+        parts = [
+            F.lit("<url>"),
+            F.lit("<loc>https://s"), hs, F.lit(f".example/u{j}</loc>"),
+        ]
+        if j % 2 == 0:
+            parts.append(F.lit(f"<lastmod>2024-02-0{j + 1}</lastmod>"))
+        if j % 3 == 0:
+            parts.append(F.lit(f"<priority>0.{j + 3}</priority>"))
+        parts.append(F.lit("</url>"))
+        return F.concat(*parts)
+
+    body = F.concat(F.lit("<urlset>"), block(0), block(1), block(2),
+                    F.lit("</urlset>"))
+    sm = d.select(
+        F.concat(F.lit("s"), hs, F.lit(".example")).alias("host"),
+        body.alias("body"),
+    )
+    return SM.parse_sitemap_xml(sm)
