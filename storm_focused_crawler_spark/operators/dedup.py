@@ -453,10 +453,15 @@ def exact_substring_spans(
        naive groupBy(window_text) would amplify 100 TB of text ~W×).
     2. Text verification for CANDIDATES ONLY: flagged (id, i) pairs
        re-derive their window text by re-slicing the doc's token array
-       (join by id — each doc's array meets only its own flagged rows),
-       then an analytic count over the candidate subset keeps windows
-       whose TEXT truly repeats — hash collisions die here, so the
-       result is exact, not probabilistic.
+       (join by id — each doc's array meets only its own flagged rows;
+       the flagged side is dup-sized and broadcasts, so the corpus
+       arrays stay local — plan-verified; if flagged ever outgrows
+       broadcast the fallback shuffle ships the corpus ONCE, still
+       never W×), then an analytic count over the candidate subset
+       keeps windows whose TEXT truly repeats — hash collisions die
+       here, so the result is exact, not probabilistic.  That count
+       partitions by candidate window text: dup-sized rows, not
+       corpus-sized.
     3. Gaps-and-islands span merge per doc (running-max window), one
        partition-by-id window over dup-sized data.
     """
