@@ -222,6 +222,16 @@ def main() -> None:
          "+ one per-doc agg.  The only global sort is the ntile over "
          "DOC-level rows — 3-4 orders of magnitude fewer than tokens.",
          REGISTRY["quality_lm_perplexity"][0](spark, SF)),
+        ("Gopher quality rules (quality_gopher_rules)",
+         "All seven A1 heuristics are per-row JVM array/string expressions "
+         "over the derived multi-line corpus — ZERO Exchange in the whole "
+         "plan (pinned in tests/test_curation.py).",
+         REGISTRY["quality_gopher_rules"][0](spark, SF)),
+        ("Domain-level quality gate (host_quality_gate)",
+         "Integer quality sums hash-aggregate onto the dim-sized source "
+         "key (map-side combinable); the per-source verdict broadcasts "
+         "back onto the docs — the corpus itself never shuffles.",
+         REGISTRY["host_quality_gate"][0](spark, SF)),
         ("Scan pruning (scan_pages)",
          "Projection reaches the parquet scan: ReadSchema carries only the "
          "selected columns.",

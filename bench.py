@@ -51,6 +51,8 @@ HEADLINE = [
     "graph_host_rank",
     "agg_heavy_hitters",
     "text_repetition_gopher",
+    "quality_gopher_rules",
+    "host_quality_gate",
     "pii_detect_redact",
     "decontam_ngram",
     "filter_robots_rep",

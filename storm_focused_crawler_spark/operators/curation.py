@@ -321,3 +321,133 @@ def sample_stratified(
         .filter(bucket < F.col("_permille"))
         .drop("_permille")
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    stopwords: list[str] | None = None,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality heuristics (Rae et al. 2021, Appendix A1 — the
+    non-repetition rules; repetition is :func:`repetition_metrics`):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (`#` + `...`), bullet-line and ellipsis-line fractions, fraction
+    of words with an alphabetic character, and distinct-stop-word
+    presence.  Emits one row per doc with every metric (round 6), each
+    rule's verdict folded into a single `keep` flag.
+
+    Line rules read the doc's LINES (split on newline, `- ` prefix =
+    bullet, `...` suffix = ellipsis); docs without newlines are one
+    line.  All metrics are integer counts with one final division +
+    round(6), so engine and oracle agree bitwise; thresholds are
+    parameters (defaults = the published Gopher values).
+
+    100 TB shape: pure per-row JVM array/string expressions — no
+    shuffle, no UDF, whole-stage codegen end to end."""
+    stopwords = GOPHER_STOPWORDS if stopwords is None else stopwords
+    words = F.filter(F.split(text_col, "[ \\n]+"), lambda x: x != "")
+    lines = F.filter(F.split(text_col, "\n"), lambda x: x != "")
+    d = df.select(
+        id_col,
+        F.size(words).alias("n_words"),
+        F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x)).alias("sum_len"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))).alias("n_alpha"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(lines, lambda x: x.startswith("- "))).alias("n_bullet"),
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).alias("n_ellipsis"),
+        (
+            (F.length(text_col) - F.length(F.regexp_replace(text_col, r"\.\.\.", "")))
+            / F.lit(3)
+            + (F.length(text_col) - F.length(F.regexp_replace(text_col, "#", "")))
+        ).cast("int").alias("n_sym"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(words), F.array(*[F.lit(s) for s in stopwords])
+            )
+        ).alias("stop_hits"),
+    ).filter((F.col("n_words") > 0) & (F.col("n_lines") > 0))
+    mean_wl = F.round(F.col("sum_len") / F.col("n_words"), 6)
+    sym = F.round(F.col("n_sym") / F.col("n_words"), 6)
+    bullet = F.round(F.col("n_bullet") / F.col("n_lines"), 6)
+    ellipsis = F.round(F.col("n_ellipsis") / F.col("n_lines"), 6)
+    alpha = F.round(F.col("n_alpha") / F.col("n_words"), 6)
+    return d.select(
+        id_col,
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        sym.alias("sym_ratio"),
+        bullet.alias("bullet_frac"),
+        ellipsis.alias("ellipsis_frac"),
+        alpha.alias("alpha_frac"),
+        "stop_hits",
+        (
+            F.col("n_words").between(min_words, max_words)
+            & mean_wl.between(min_mean_word_len, max_mean_word_len)
+            & (sym <= max_symbol_ratio)
+            & (bullet <= max_bullet_frac)
+            & (ellipsis <= max_ellipsis_frac)
+            & (alpha >= min_alpha_frac)
+            & (F.col("stop_hits") >= min_stop_hits)
+        ).alias("keep"),
+    )
+
+
+def host_quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    min_quality: float = 0.30,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Domain-level quality gating (RefinedWeb / C4 style: judge the
+    SOURCE, not just the doc): aggregate a corpus-quality score per
+    source — mean tokens/doc (capped contribution) blended with the
+    stop-word mass — and keep every doc whose source clears both the
+    quality floor and a minimum-document support.  A noisy host with
+    consistently thin or stop-word-starved pages is dropped wholesale,
+    which doc-level filters can't express.
+
+    Scores are integer sums (tokens, stop tokens, docs) aggregated per
+    source with ONE final double expression + round(6), so the verdict
+    is order-independent and engine-exact.
+
+    100 TB shape: one map-side-combinable hash agg onto the source key
+    (dim-sized output), then a broadcast join of the per-source verdict
+    back onto the docs — the corpus itself never shuffles."""
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    stops = F.filter(F.split(text_col, " "), lambda x: (x == "the") | (x == "a"))
+    per_doc = df.select(
+        id_col, group_col,
+        F.size(toks).alias("n_tok"), F.size(stops).alias("n_stop"),
+    ).filter(F.col("n_tok") > 0)
+    per_src = per_doc.groupBy(group_col).agg(
+        F.count("*").alias("src_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.sum("n_stop").alias("sum_stop"),
+    )
+    qual = F.round(
+        0.5 * F.least(F.col("sum_tok") / F.col("src_docs") / 100.0, F.lit(1.0))
+        + 0.5 * F.col("sum_stop") / F.col("sum_tok"),
+        6,
+    )
+    verdict = per_src.select(
+        group_col,
+        "src_docs",
+        qual.alias("src_quality"),
+        ((qual >= min_quality) & (F.col("src_docs") >= min_docs)).alias("keep"),
+    )
+    return per_doc.select(id_col, group_col).join(F.broadcast(verdict), group_col)

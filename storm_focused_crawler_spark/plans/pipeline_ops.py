@@ -1202,3 +1202,119 @@ def parse_sitemap_xml_op(spark, sf_dir):
         body.alias("body"),
     )
     return SM.parse_sitemap_xml(sm)
+
+
+# ================= Gopher quality rules + domain-level gating ================
+
+
+def _lined_docs(spark, sf_dir):
+    """Fixture adapter for the line-based Gopher rules: the documents
+    table is single-line prose, so derive a deterministic multi-line
+    variant — 10-word lines, every (doc_id+i)%6==0 line bullet-prefixed
+    (`- `), every (doc_id+i)%3==0 line ellipsis-suffixed (` ...`) — the
+    same derived-universe pattern as the PII/decontam ops.  The oracle
+    constructs the identical text in SQL, so the MEASUREMENT code
+    (operators/curation.gopher_quality_rules) is what the compare
+    verifies."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    nl = F.floor((F.size(words) + 9) / 10).cast("int")
+    did = F.col("doc_id")
+
+    def decorate(i):
+        chunk = F.array_join(F.slice(words, i * 10 + 1, 10), " ")
+        return F.concat(
+            F.when((did + i) % 6 == 0, F.lit("- ")).otherwise(F.lit("")),
+            chunk,
+            F.when((did + i) % 3 == 0, F.lit(" ...")).otherwise(F.lit("")),
+        )
+
+    lined = F.array_join(F.transform(F.sequence(F.lit(0), nl - 1), decorate), "\n")
+    return d.select("doc_id", lined.alias("text"))
+
+
+_LINED_CTE = """
+w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents),
+lined AS (
+  SELECT doc_id,
+    array_to_string([
+      (CASE WHEN (doc_id + i) % 6 = 0 THEN '- ' ELSE '' END) ||
+      array_to_string(words[i*10+1 : i*10+10], ' ') ||
+      (CASE WHEN (doc_id + i) % 3 = 0 THEN ' ...' ELSE '' END)
+      for i in range(0, CAST((len(words)+9)//10 AS BIGINT))
+    ], chr(10)) AS text
+  FROM w)"""
+
+
+@op(
+    "quality_gopher_rules",
+    f"""WITH {_LINED_CTE},
+m AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '[ \n]+'), x -> x <> '') AS words,
+    list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+    CAST((len(text) - len(replace(text, '...', ''))) / 3
+         + (len(text) - len(replace(text, '#', ''))) AS INT) AS n_sym
+  FROM lined),
+c AS (
+  SELECT doc_id,
+    CAST(len(words) AS INT) AS n_words,
+    list_sum(list_transform(words, x -> len(x))) AS sum_len,
+    len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+    len(lines) AS n_lines,
+    len(list_filter(lines, x -> starts_with(x, '- '))) AS n_bullet,
+    len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ellipsis,
+    n_sym,
+    CAST(len(list_intersect(list_distinct(words), ['the', 'a'])) AS INT) AS stop_hits
+  FROM m WHERE len(words) > 0 AND len(lines) > 0)
+SELECT doc_id, n_words,
+  round(sum_len / n_words, 6) AS mean_word_len,
+  round(n_sym / n_words, 6) AS sym_ratio,
+  round(n_bullet / n_lines, 6) AS bullet_frac,
+  round(n_ellipsis / n_lines, 6) AS ellipsis_frac,
+  round(n_alpha / n_words, 6) AS alpha_frac,
+  stop_hits,
+  (n_words BETWEEN 50 AND 100000
+   AND round(sum_len / n_words, 6) BETWEEN 3.0 AND 10.0
+   AND round(n_sym / n_words, 6) <= 0.1
+   AND round(n_bullet / n_lines, 6) <= 0.9
+   AND round(n_ellipsis / n_lines, 6) <= 0.3
+   AND round(n_alpha / n_words, 6) >= 0.8
+   AND stop_hits >= 2) AS keep
+FROM c""",
+)
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher A1 quality heuristics (operators/curation.
+    gopher_quality_rules) over the derived multi-line corpus; stop set
+    parameterized to the fixture vocabulary ({'the','a'} — natural-
+    English defaults are GOPHER_STOPWORDS)."""
+    return CU.gopher_quality_rules(
+        _lined_docs(spark, sf_dir), stopwords=["the", "a"]
+    )
+
+
+@op(
+    "host_quality_gate",
+    """WITH t AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stop
+  FROM documents),
+tp AS (SELECT * FROM t WHERE n_tok > 0),
+s AS (SELECT source, count(*) AS src_docs, sum(n_tok) AS sum_tok,
+             sum(n_stop) AS sum_stop
+      FROM tp GROUP BY 1),
+v AS (SELECT source, src_docs,
+        round(0.5 * least(sum_tok / src_docs / 100.0, 1.0)
+              + 0.5 * sum_stop / sum_tok, 6) AS src_quality
+      FROM s)
+SELECT tp.doc_id, tp.source, v.src_docs, v.src_quality,
+       (v.src_quality >= 0.30 AND v.src_docs >= 5) AS keep
+FROM tp JOIN v USING (source)""",
+)
+def host_quality_gate(spark, sf_dir):
+    """Domain-level quality gate (operators/curation.host_quality_gate):
+    per-source integer-sum quality verdict broadcast back onto docs."""
+    return CU.host_quality_gate(_t(spark, sf_dir, "documents"))

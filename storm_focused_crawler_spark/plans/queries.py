@@ -127,12 +127,14 @@ def op(name: str, sql: str | None):
 # ======================= sources / sinks ====================================
 
 
-# scan_pages / scan_frontier / seed_inject / project_url_host are
-# rows-only in the DRIVER window (the harness records the first 50 sql
-# keys; parse_crawl_delay took scan_frontier's slot in r5-prep, and the
-# three curation filters — text_repetition_gopher / pii_detect_redact /
-# decontam_ngram — took these three: trivial scan/projection shapes are
-# exercised implicitly by every other oracled plan).  All four stay
+# scan_pages / scan_frontier / seed_inject / project_url_host /
+# filter_scheme / filter_lang are rows-only in the DRIVER window (the
+# harness records the first 50 sql keys; parse_crawl_delay took
+# scan_frontier's slot in r5-prep; text_repetition_gopher /
+# pii_detect_redact / decontam_ngram took the next three; and
+# quality_gopher_rules / host_quality_gate displaced the two trivial
+# single-predicate filters: scan/projection/predicate shapes are
+# exercised implicitly by every other oracled plan).  All six stay
 # DuckDB-verified locally: tests/test_queries_duckdb.py runs the
 # driver-identical compare against DISPLACED_ORACLES explicitly.
 SCAN_FRONTIER_ORACLE = f"WITH {URLS_CTE} SELECT url, host, score FROM urls"
@@ -149,6 +151,15 @@ DISPLACED_ORACLES: dict[str, str] = {
            regexp_extract(url, '\\.example-([a-z]+)', 1) AS tld_x,
            regexp_extract(url, 'https://[^/]+(/.*)$', 1) AS path_x
     FROM urls""",
+    # r5: displaced by quality_gopher_rules / host_quality_gate —
+    # trivial single-predicate filters, exercised implicitly by every
+    # crawl-path oracle (scheme gate inside URLS, lang gate in crawl).
+    "filter_scheme": f"""WITH {URLS_CTE},
+    mixed AS (SELECT CASE WHEN doc_id % 4 = 0
+                      THEN replace(url, 'https://', 'ftp://') ELSE url END AS url
+              FROM urls)
+    SELECT url FROM mixed WHERE regexp_matches(url, '^https?://')""",
+    "filter_lang": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
 }
 
 
@@ -185,14 +196,7 @@ def project_url_host(spark, sf_dir):
     )
 
 
-@op(
-    "filter_scheme",
-    f"""WITH {URLS_CTE},
-    mixed AS (SELECT CASE WHEN doc_id % 4 = 0
-                      THEN replace(url, 'https://', 'ftp://') ELSE url END AS url
-              FROM urls)
-    SELECT url FROM mixed WHERE regexp_matches(url, '^https?://')""",
-)
+@op("filter_scheme", None)  # DuckDB-checked via DISPLACED_ORACLES pytest
 def filter_scheme(spark, sf_dir):
     u = _urls(spark, sf_dir)
     mixed = u.select(
@@ -203,7 +207,7 @@ def filter_scheme(spark, sf_dir):
     return mixed.filter(F.col("url").rlike("^https?://"))
 
 
-@op("filter_lang", "SELECT doc_id, lang FROM documents WHERE lang = 'en'")
+@op("filter_lang", None)  # DuckDB-checked via DISPLACED_ORACLES pytest
 def filter_lang(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", "lang").filter(F.col("lang") == "en")
 

@@ -381,3 +381,126 @@ def test_sample_stratified_rates_and_determinism(spark, sf_dir):
     # src0 keeps everything; rate-limited strata keep strictly less
     assert per_src_kept.get("src0", 0) == per_src_total["src0"]
     assert per_src_kept.get("src3", 0) < per_src_total["src3"]
+
+
+# ------------------- Gopher quality rules + host gate ------------------------
+
+
+def _gopher_twin(doc_id: int, text: str) -> tuple:
+    """Pure-Python twin of gopher_quality_rules over the registry op's
+    derived multi-line text (10-word lines, %6 bullets, %3 ellipses)."""
+    src = [w for w in text.split(" ") if w]
+    lines = []
+    for i in range(0, (len(src) + 9) // 10):
+        ln = " ".join(src[i * 10 : i * 10 + 10])
+        if (doc_id + i) % 6 == 0:
+            ln = "- " + ln
+        if (doc_id + i) % 3 == 0:
+            ln = ln + " ..."
+        lines.append(ln)
+    lined = "\n".join(lines)
+    words = [w for w in re.split(r"[ \n]+", lined) if w]
+    lns = [l for l in lined.split("\n") if l]
+    n_sym = lined.count("...") + lined.count("#")
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731  HALF_UP
+    n_w, n_l = len(words), len(lns)
+    mean_wl = r6(sum(len(w) for w in words) / n_w)
+    sym = r6(n_sym / n_w)
+    bullet = r6(sum(l.startswith("- ") for l in lns) / n_l)
+    ellipsis = r6(sum(l.endswith("...") for l in lns) / n_l)
+    alpha = r6(sum(bool(re.search("[a-zA-Z]", w)) for w in words) / n_w)
+    stop_hits = len({"the", "a"} & set(words))
+    keep = (
+        50 <= n_w <= 100_000
+        and 3.0 <= mean_wl <= 10.0
+        and sym <= 0.1
+        and bullet <= 0.9
+        and ellipsis <= 0.3
+        and alpha >= 0.8
+        and stop_hits >= 2
+    )
+    return (n_w, mean_wl, sym, bullet, ellipsis, alpha, stop_hits, keep)
+
+
+def test_gopher_rules_match_python_twin(spark, sf_dir, docs_pdf):
+    from storm_focused_crawler_spark.plans.pipeline_ops import quality_gopher_rules
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["mean_word_len"], r["sym_ratio"], r["bullet_frac"],
+            r["ellipsis_frac"], r["alpha_frac"], r["stop_hits"], r["keep"],
+        )
+        for r in quality_gopher_rules(spark, sf_dir).collect()
+    }
+    want = {
+        int(row.doc_id): _gopher_twin(int(row.doc_id), row.text)
+        for row in docs_pdf.itertuples()
+    }
+    assert got == want
+    # every rule input varies and the verdict is non-vacuous both ways
+    keeps = {v[-1] for v in got.values()}
+    assert keeps == {True, False}
+    assert {v[0] < 50 for v in got.values()} == {True, False}   # word-count rule fires
+    assert any(v[4] > 0.3 for v in got.values())                # ellipsis rule fires
+
+
+def test_host_quality_gate_unit_and_fixture(spark, sf_dir):
+    """Unit truth on a constructed frame (one rich source, one thin
+    source, one under-supported source), then fixture-level python-twin
+    equality for the registry op."""
+    from storm_focused_crawler_spark.operators.curation import host_quality_gate
+    from storm_focused_crawler_spark.plans.pipeline_ops import (
+        host_quality_gate as gate_op,
+    )
+
+    rich = [(i, "rich", "the a " + "tok " * 78 + "end") for i in range(6)]
+    thin = [(100 + i, "thin", "x y") for i in range(6)]
+    few = [(200 + i, "few", "the a " + "tok " * 78 + "end") for i in range(3)]
+    df = spark.createDataFrame(rich + thin + few, "doc_id long, source string, text string")
+    got = {r["source"]: (r["src_docs"], r["src_quality"], r["keep"])
+           for r in host_quality_gate(df).collect()}
+    # rich: 81 toks/doc, 2 stops -> 0.5*0.81 + 0.5*(12/486) = 0.417346
+    assert got["rich"] == (6, 0.417346, True)
+    assert got["thin"][2] is False           # quality floor fails
+    assert got["few"] == (3, 0.417346, False)  # min_docs fails despite quality
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "source", "text"]]
+    agg: dict[str, list[int]] = {}
+    for row in pdf.itertuples():
+        toks = [w for w in row.text.split(" ") if w]
+        if not toks:
+            continue
+        a = agg.setdefault(row.source, [0, 0, 0])
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += sum(w in ("the", "a") for w in toks)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    want = {
+        s: (n, r6(0.5 * min(t / n / 100.0, 1.0) + 0.5 * st / t))
+        for s, (n, t, st) in agg.items()
+    }
+    got_fx = {r["source"]: (r["src_docs"], r["src_quality"], r["keep"])
+              for r in gate_op(spark, sf_dir).dropDuplicates(["source"]).collect()}
+    for s, (n, q) in want.items():
+        assert got_fx[s][:2] == (n, q), s
+        assert got_fx[s][2] == (q >= 0.30 and n >= 5), s
+    assert {v[2] for v in got_fx.values()} == {True, False}
+
+
+def test_gopher_and_host_gate_plans_no_corpus_shuffle(spark, sf_dir):
+    """quality_gopher_rules is pure per-row codegen (zero Exchange);
+    host_quality_gate shuffles only the dim-sized per-source sums and
+    broadcasts the verdict back."""
+    from storm_focused_crawler_spark.plans.pipeline_ops import (
+        host_quality_gate as gate_op,
+        quality_gopher_rules,
+    )
+
+    plan = quality_gopher_rules(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plan2 = gate_op(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan2
+    # the only hash-partitioned exchange key is the source column
+    import re as _re
+    hash_ex = _re.findall(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", plan2)
+    assert all(k.startswith("source") for k in hash_ex), hash_ex
