@@ -44,6 +44,7 @@ HEADLINE = [
     "sim_knn_lsh",
     "text_quality_score",
     "lang_id_trigram",
+    "text_normalize_unicode",
     "topic_classify_nb",
     "text_index_postings",
     "rank_bm25",

@@ -451,3 +451,37 @@ def host_quality_gate(
         ((qual >= min_quality) & (F.col("src_docs") >= min_docs)).alias("keep"),
     )
     return per_doc.select(id_col, group_col).join(F.broadcast(verdict), group_col)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Unicode NFC normalization + whitespace collapse + edge trim —
+    the standard first pass of a web-text curation pipeline (CCNet /
+    FineWeb normalize before hashing, so byte-level variants of the
+    same string dedup and fingerprint together).
+
+    The whitespace collapse ([ \\t\\r\\n]+ → one space, then trim) runs
+    JVM-side in whole-stage codegen; NFC has no JVM builtin, so it is
+    the sanctioned Arrow slow path — ONE vectorized pandas-UDF batch
+    pass, no shuffle, no per-row Python round trips.  Collapse and NFC
+    commute (NFC neither creates nor destroys ASCII whitespace), so
+    running the cheap JVM step first only shrinks the Arrow payload.
+
+    100 TB shape: embarrassingly parallel per-row map; cost is one
+    Arrow serialization of the text column per batch."""
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and the hint parser can't resolve 'pd.Series' — the plain
+    # SCALAR pandas UDF is exactly this signature (langid.classify_arrow
+    # uses the same convention)
+    def _nfc_impl(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    _nfc = F.pandas_udf("string")(_nfc_impl)
+
+    collapsed = F.trim(F.regexp_replace(F.col(text_col), "[ \t\r\n]+", " "))
+    return df.withColumn(out_col, _nfc(collapsed))

@@ -1318,3 +1318,48 @@ def host_quality_gate(spark, sf_dir):
     """Domain-level quality gate (operators/curation.host_quality_gate):
     per-source integer-sum quality verdict broadcast back onto docs."""
     return CU.host_quality_gate(_t(spark, sf_dir, "documents"))
+
+
+# ======================= unicode text normalization =========================
+
+# Oracle kept OUTSIDE the 50-key driver window (rows-only there);
+# tests/test_curation.py runs the driver-identical compare: DuckDB's
+# nfc_normalize over the SAME derived noisy corpus.  chr(769) = U+0301
+# combining acute, chr(776) = U+0308 combining diaeresis.
+TEXT_NORMALIZE_ORACLE = """
+WITH noisy AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 3 = 0
+                 THEN '  cafe' || chr(769) || '  menu'
+                 WHEN doc_id % 3 = 1
+                 THEN chr(9) || 'u' || chr(776) || 'ber' || chr(10) || ' x'
+                 ELSE '   ' END AS text
+  FROM documents)
+SELECT doc_id,
+       nfc_normalize(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')))
+         AS text_norm
+FROM noisy"""
+
+
+def _noisy_docs(spark, sf_dir):
+    """Fixture adapter: the documents table is ASCII single-spaced, so
+    derive a deterministic noisy variant — NFD combining sequences
+    (e+U+0301, u+U+0308), tabs/newlines/run-on spaces — per doc_id%3,
+    same derived-universe pattern as the PII/gopher ops."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    suffix = (
+        F.when(did % 3 == 0, F.lit("  cafe\u0301  menu"))
+        .when(did % 3 == 1, F.lit("\tu\u0308ber\n x"))
+        .otherwise(F.lit("   "))
+    )
+    return d.select("doc_id", F.concat("text", suffix).alias("text"))
+
+
+@op("text_normalize_unicode", None)  # DuckDB nfc_normalize pytest oracle
+def text_normalize_unicode(spark, sf_dir):
+    """NFC + whitespace-collapse normalization (operators/curation.
+    normalize_text) over the derived noisy corpus."""
+    return CU.normalize_text(_noisy_docs(spark, sf_dir)).select(
+        "doc_id", "text_norm"
+    )

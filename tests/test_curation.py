@@ -504,3 +504,44 @@ def test_gopher_and_host_gate_plans_no_corpus_shuffle(spark, sf_dir):
     import re as _re
     hash_ex = _re.findall(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", plan2)
     assert all(k.startswith("source") for k in hash_ex), hash_ex
+
+
+# ------------------- unicode NFC normalization -------------------------------
+
+
+def test_text_normalize_matches_duckdb_and_python_twin(spark, sf_dir, docs_pdf):
+    import unicodedata
+
+    from storm_focused_crawler_spark.plans.pipeline_ops import (
+        TEXT_NORMALIZE_ORACLE,
+        text_normalize_unicode,
+    )
+
+    got = dict(map(tuple, text_normalize_unicode(spark, sf_dir).collect()))
+    want = dict(map(tuple, _duck_urls(sf_dir, TEXT_NORMALIZE_ORACLE)))
+    assert got == want
+
+    suffixes = {0: "  café  menu", 1: "\tüber\n x", 2: "   "}
+    twin = {
+        int(r.doc_id): unicodedata.normalize(
+            "NFC", re.sub(r"[ \t\r\n]+", " ", r.text + suffixes[int(r.doc_id) % 3]).strip()
+        )
+        for r in docs_pdf.itertuples()
+    }
+    assert got == twin
+    # non-vacuity: NFC actually recomposed (output shorter than the NFD
+    # input) and the collapse actually fired, for every decorated class
+    assert all(v.endswith("café menu") for k, v in got.items() if k % 3 == 0)
+    assert all(v.endswith("über x") for k, v in got.items() if k % 3 == 1)
+    assert all(not v.endswith(" ") for v in got.values())
+
+
+def test_text_normalize_plan_one_arrow_pass_no_shuffle(spark, sf_dir):
+    from storm_focused_crawler_spark.plans.pipeline_ops import text_normalize_unicode
+
+    plan = (
+        text_normalize_unicode(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
