@@ -4,8 +4,14 @@ The crawl engine's sibling job: where jobs/crawl.py produces the
 corpus, this consumes one — the standard LLM-data curation sweep over
 a documents table, built entirely from this repo's registry operators:
 
-    quality filter (text_quality_score)
+    unicode NFC normalization (optional --normalize, CCNet/FineWeb
+    first pass via operators/curation.normalize_text)
+  → domain-level gate (optional --host-gate: judge the SOURCE —
+    operators/curation.host_quality_gate, RefinedWeb-style)
+  → quality filter (text_quality_score)
   → repetition filter (operators/curation, Gopher A1.1 fractions)
+  → Gopher A1 heuristics (optional --gopher-rules: word/line-shape
+    rules via operators/curation.gopher_quality_rules)
   → LM-perplexity gate (optional --ppl-drop, CCNet-style tertile
     buckets via operators/curation.lm_perplexity)
   → language ID + gate (functions/langid, char 1-3-gram profiles)
@@ -68,6 +74,19 @@ def parse_args(argv=None):
                     help="CCNet-style LM-perplexity gate: drop these tertile "
                     "buckets (LM trained on the doc_id%%5 slice of the "
                     "already-gated corpus); none = stage skipped")
+    ap.add_argument("--normalize", action="store_true",
+                    help="NFC + whitespace-collapse the text first, so "
+                    "byte-variants hash/dedup together")
+    ap.add_argument("--host-gate", action="store_true",
+                    help="drop every doc of a source whose aggregate "
+                    "quality fails the floor (needs a source column)")
+    ap.add_argument("--host-min-quality", type=float, default=0.3)
+    ap.add_argument("--host-min-docs", type=int, default=5)
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="Gopher A1 word/line-shape heuristics gate")
+    ap.add_argument("--gopher-stopwords", default=None,
+                    help="comma-separated stop set for the Gopher "
+                    "stop-word rule (default: the published set)")
     ap.add_argument("--substr-scrub", action="store_true",
                     help="ExactSubstr pass (Lee et al. 2021): remove 20-token "
                     "spans duplicated >=2x corpus-wide from surviving text")
@@ -79,7 +98,13 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
                  dedup_resolution: str = "clusters",
                  benchmark_path: str | None = None,
                  ppl_drop: str = "none",
-                 substr_scrub: bool = False) -> dict:
+                 substr_scrub: bool = False,
+                 normalize: bool = False,
+                 host_gate: bool = False,
+                 host_min_quality: float = 0.3,
+                 host_min_docs: int = 5,
+                 gopher_rules: bool = False,
+                 gopher_stopwords: list[str] | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from storm_focused_crawler_spark.functions import langid as L
@@ -89,6 +114,22 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
 
     d = spark.read.parquet(docs_path)
     n_in = d.count()
+
+    # 0. unicode normalization (optional): NFC + whitespace collapse so
+    # every downstream hash/dedup/fingerprint sees one byte form
+    if normalize:
+        d = CU.normalize_text(d).drop("text").withColumnRenamed("text_norm", "text")
+
+    # 0b. domain-level gate (optional): aggregate quality per source and
+    # drop failing sources wholesale (RefinedWeb-style)
+    n_host = None
+    if host_gate:
+        verdict = CU.host_quality_gate(
+            d, min_quality=host_min_quality, min_docs=host_min_docs
+        )
+        keep_ids = verdict.filter(F.col("keep")).select("doc_id")
+        d = d.join(keep_ids, "doc_id").persist()
+        n_host = d.count()
 
     # 1. quality gate (same heuristics as the text_quality_score op)
     toks = F.filter(F.split("text", " "), lambda x: x != "")
@@ -114,6 +155,15 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
     n_repetition = q2.count()
     q.unpersist()
     q = q2
+
+    # 1b2. Gopher A1 word/line-shape heuristics (optional)
+    n_gopher = None
+    if gopher_rules:
+        g = CU.gopher_quality_rules(q, stopwords=gopher_stopwords)
+        q2 = q.join(g.filter(F.col("keep")).select("doc_id"), "doc_id").persist()
+        n_gopher = q2.count()
+        q.unpersist()
+        q = q2
 
     # 1c. CCNet-style perplexity gate (optional): bucket by bigram-LM
     # perplexity (operators/curation.lm_perplexity, LM trained on the
@@ -202,6 +252,10 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
         "dedup_resolution": dedup_resolution,
         "out": out,
     }
+    if n_host is not None:
+        summary["after_host_gate"] = n_host
+    if n_gopher is not None:
+        summary["after_gopher_rules"] = n_gopher
     if n_ppl is not None:
         summary["after_ppl_gate"] = n_ppl
     if n_decontam is not None:
@@ -228,6 +282,14 @@ def main(argv=None) -> int:
         benchmark_path=args.benchmark,
         ppl_drop=args.ppl_drop,
         substr_scrub=args.substr_scrub,
+        normalize=args.normalize,
+        host_gate=args.host_gate,
+        host_min_quality=args.host_min_quality,
+        host_min_docs=args.host_min_docs,
+        gopher_rules=args.gopher_rules,
+        gopher_stopwords=(
+            args.gopher_stopwords.split(",") if args.gopher_stopwords else None
+        ),
     )
     print(json.dumps(summary))
     spark.stop()

@@ -126,3 +126,39 @@ def test_pipeline_ppl_gate_and_substr_scrub(spark, sf_dir, tmp_path):
             F.col("text") != F.col("orig")
         )
         assert changed.count() >= 1
+
+
+def test_pipeline_normalize_host_gate_gopher_stages(spark, sf_dir, tmp_path):
+    """r5b stages: NFC/whitespace normalization leaves the (already
+    single-spaced ASCII) fixture byte-identical; the host gate drops
+    whole sources; the Gopher rules gate drops word-shape failures —
+    all three in one run, funnel stays monotone and consistent."""
+    from storm_focused_crawler_spark.operators import curation as CU
+
+    out = str(tmp_path / "clean_norm")
+    s = run_pipeline(
+        spark, f"{sf_dir}/documents.parquet", out,
+        min_quality=0.0, langs={"en"}, jaccard=0.5,
+        normalize=True, host_gate=True, host_min_quality=0.30,
+        host_min_docs=2, gopher_rules=True, gopher_stopwords=["the", "a"],
+    )
+    assert s["docs_in"] >= s["after_host_gate"] >= s["after_quality"]
+    assert s["after_repetition"] >= s["after_gopher_rules"] >= s["after_lang"]
+    assert s["after_near_dedup"] > 0
+
+    clean = spark.read.parquet(f"{out}/clean")
+    # every surviving source passes the gate's verdict
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = {
+        r["source"]
+        for r in CU.host_quality_gate(docs, min_quality=0.30, min_docs=2)
+        .filter(~F.col("keep")).select("source").distinct().collect()
+    }
+    assert bad, "host gate vacuous at this threshold"
+    assert clean.filter(F.col("source").isin(*bad)).count() == 0
+    # no gopher-failing doc survives (rules re-checked on survivors)
+    g = CU.gopher_quality_rules(clean, stopwords=["the", "a"])
+    assert g.filter(~F.col("keep")).count() == 0
+    # normalization idempotent: the surviving text is its own normal form
+    renorm = CU.normalize_text(clean.select("doc_id", "text"))
+    assert renorm.filter(F.col("text") != F.col("text_norm")).count() == 0
