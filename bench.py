@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_simhash",
     "dedup_substring_exact",
+    "dedup_minhash_incremental",
     "sim_knn_cosine",
     "sim_knn_ivf",
     "sim_knn_lsh",

@@ -66,15 +66,13 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sig.select("_id", F.array(*[f"m{j}" for j in range(MINHASH_PERMS)]).alias("sig"))
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      threshold: float = 0.5) -> DataFrame:
-    """Candidate pairs by banded LSH, verified by exact shingle jaccard.
-
-    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
-    """
+def minhash_band_buckets(sig: DataFrame) -> DataFrame:
+    """(_id, band, bh): one banded bucket key per signature band —
+    the LSH candidate-generation key shared by the batch
+    (minhash_lsh_pairs) and incremental (incremental_minhash_pairs)
+    paths.  Input is minhash_signature's (_id, sig) shape."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    sig = minhash_signature(df, id_col, text_col)
-    bands = sig.select(
+    return sig.select(
         "_id",
         F.explode(
             F.transform(
@@ -94,6 +92,80 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             )
         ).alias("e"),
     ).select("_id", "e.band", "e.bh")
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new ingestion batch, against a corpus
+    whose MinHash signatures were computed once and persisted — the
+    recurring-ingestion shape: at 100 TB you cannot re-signature the
+    whole corpus per batch, and you cannot co-locate its text either.
+
+    Semantics: exactly ``minhash_lsh_pairs(corpus ∪ batch)`` restricted
+    to pairs with ≥1 batch member (pytest-locked equivalence,
+    tests/test_pipeline_ops.py).  Output (id_a, id_b, jaccard),
+    id_a < id_b, jaccard ≥ threshold.
+
+    Scale shape: the stored signature table re-derives band buckets
+    without touching corpus text; cross candidates come from a
+    (band, bh) equi-join where only the BATCH side is small (typically
+    broadcast by AQE); exact verification re-reads corpus text ONLY for
+    candidate ids (an id equi-join the scan can prune on).  Within-batch
+    pairs reuse the batch path on the new docs alone."""
+    new_sig = minhash_signature(new_docs, id_col, text_col)
+    cand = (
+        minhash_band_buckets(corpus_sigs).alias("o")
+        .join(
+            F.broadcast(minhash_band_buckets(new_sig)).alias("n"),
+            (F.col("o.band") == F.col("n.band")) & (F.col("o.bh") == F.col("n.bh")),
+        )
+        .select(
+            F.least(F.col("o._id"), F.col("n._id")).alias("id_a"),
+            F.greatest(F.col("o._id"), F.col("n._id")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    old_sh = corpus_docs.select(
+        F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("sh")
+    )
+    new_sh = new_docs.select(
+        F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("sh")
+    )
+    sh = old_sh.unionByName(new_sh)
+    v = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    within = minhash_lsh_pairs(new_docs, id_col, text_col, threshold)
+    return v.unionByName(within).distinct()
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs by banded LSH, verified by exact shingle jaccard.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sig = minhash_signature(df, id_col, text_col)
+    bands = minhash_band_buckets(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -128,39 +200,68 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 def simhash_col(text):
     """64-bit SimHash of whitespace tokens, entirely JVM-side.
 
-    Fold token hashes into a 64-wide counter array (+1/-1 per bit via
-    the hash's 64-char two's-complement bin() string — shiftright takes
-    only literal shift amounts, so bit i is read as a substring), then
-    pack the sign bits into two 32-bit halves (hi, lo) that stay inside
-    ANSI-safe long range.  Returns struct(hi long, lo long).
-    """
+    Fold token hashes into a 64-wide counter array — each of the 64
+    bits of xxhash64(token) contributes +1/-1 to its counter via
+    getbit, pure integer arithmetic (the original implementation read
+    bits out of a 64-char bin() string; at corpus scale the string
+    allocations dominated the whole dedup_simhash runtime, and this
+    integer rewrite computes IDENTICAL values — locked by the
+    simhash_py twin test).  The counter signs then pack MSB-first into
+    two 32-bit halves (hi = bits 63..32, lo = bits 31..0) that stay
+    inside ANSI-safe long range.  Returns struct(hi long, lo long)."""
     toks = F.filter(F.split(text, " "), lambda t: t != "")
-    hs = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
     zero64 = F.array_repeat(F.lit(0), 64)
-    idx = F.sequence(F.lit(1), F.lit(64))  # 1-based char position in bin string
+    idx = F.sequence(F.lit(0), F.lit(63))  # bit position, LSB = 0
     acc = F.aggregate(
         hs,
         zero64,
-        lambda acc, b: F.zip_with(
-            acc,
-            idx,
-            lambda a, i: a + F.when(F.substr(b, i, F.lit(1)) == "1", 1).otherwise(-1),
-        ),
+        lambda a, h: F.zip_with(a, idx, lambda c, i: c + F.getbit(h, i) * 2 - 1),
     )
-    signs = F.aggregate(
-        F.transform(acc, lambda a: F.when(a > 0, "1").otherwise("0")),
-        F.lit(""),
-        lambda s, c: F.concat(s, c),
+    bits = F.transform(acc, lambda c: F.when(c > 0, 1).otherwise(0).cast("long"))
+    lo = F.aggregate(
+        F.reverse(F.slice(bits, 1, 32)), F.lit(0).cast("long"),
+        lambda v, b: v * 2 + b,
     )
-    hi = F.conv(F.substr(signs, F.lit(1), F.lit(32)), 2, 10).cast("long")
-    lo = F.conv(F.substr(signs, F.lit(33), F.lit(32)), 2, 10).cast("long")
+    hi = F.aggregate(
+        F.reverse(F.slice(bits, 33, 32)), F.lit(0).cast("long"),
+        lambda v, b: v * 2 + b,
+    )
     return F.struct(hi.alias("hi"), lo.alias("lo"))
+
+
+def simhash_py(text: str) -> tuple[int, int]:
+    """Pure-Python twin of :func:`simhash_col` (xxhash64 via
+    spec.xxh64), used by tests to lock the JVM column's exact values."""
+    from storm_focused_crawler_spark import spec
+
+    counts = [0] * 64
+    for t in text.split(" "):
+        if not t:
+            continue
+        h = spec.xxh64(t) & ((1 << 64) - 1)  # two's-complement view
+        for i in range(64):
+            counts[i] += 1 if (h >> i) & 1 else -1
+    hi = lo = 0
+    for i in range(31, -1, -1):
+        lo = lo * 2 + (1 if counts[i] > 0 else 0)
+    for i in range(63, 31, -1):
+        hi = hi * 2 + (1 if counts[i] > 0 else 0)
+    return hi, lo
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by 16-bit-band LSH on simhash, hamming-verified."""
+    """Near-dup pairs by 16-bit-band LSH on simhash, hamming-verified.
+
+    The repartition after the signature select is load-bearing: without
+    an exchange boundary, whole-stage codegen INLINES the 64-bit fold
+    into every downstream reference (4 band structs × 2 self-join
+    sides ≈ 8 recomputations — measured 2.4× slower at sf0.1).  The
+    boundary materializes (_id, sh) once — a slim 24-byte-per-doc
+    shuffle — and the identical subplans on both join sides reuse it."""
     s = df.select(F.col(id_col).alias("_id"), simhash_col(F.col(text_col)).alias("sh"))
+    s = s.repartition("_id")
     band_exprs = []
     for b in range(4):  # python-literal shift amounts
         src = F.col("sh.hi") if b < 2 else F.col("sh.lo")

@@ -1363,3 +1363,28 @@ def text_normalize_unicode(spark, sf_dir):
     return CU.normalize_text(_noisy_docs(spark, sf_dir)).select(
         "doc_id", "text_norm"
     )
+
+
+# ================= incremental (batch-vs-corpus) near-dup ===================
+
+
+@op("dedup_minhash_incremental", None)  # xxhash64-based; equivalence pytest
+def dedup_minhash_incremental(spark, sf_dir):
+    """Recurring-ingestion near-dup (operators/dedup.
+    incremental_minhash_pairs): corpus = doc_id%4!=0 with its MinHash
+    signatures computed ONCE and round-tripped through the snapshot
+    store (the persisted-signature path a 100 TB deployment runs);
+    batch = doc_id%4==0 arriving later.  Emits every verified pair
+    touching the batch — pytest-locked equal to the full-corpus run
+    restricted to batch-touching pairs (tests/test_pipeline_ops.py)."""
+    import tempfile
+
+    from storm_focused_crawler_spark.sources.storage import ParquetSnapshotStore
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    store = ParquetSnapshotStore(tempfile.mkdtemp(prefix="sfc_minc_"))
+    store.write_round(0, {"minhash_sigs": D.minhash_signature(corpus, "doc_id", "text")})
+    sigs = store.read(spark, 0, "minhash_sigs")
+    return D.incremental_minhash_pairs(batch, corpus, sigs, threshold=0.5)

@@ -196,3 +196,60 @@ def test_lsh_geometry_meets_recall_and_prunes():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         D.lsh_geometry(1.0)
+
+
+def test_incremental_minhash_equals_full_run_restricted(spark, sf_dir):
+    """incremental_minhash_pairs == minhash_lsh_pairs(full corpus)
+    restricted to pairs touching the batch — candidate generation,
+    verification, and threshold all agree; and the registry op
+    (signatures via the snapshot store) returns the same set."""
+    from pyspark.sql import functions as F
+
+    from storm_focused_crawler_spark.operators import dedup as D
+    from storm_focused_crawler_spark.plans.pipeline_ops import (
+        dedup_minhash_incremental,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(d, "doc_id", "text", 0.5).collect()
+    }
+    want = {(a, b, j) for a, b, j in full if a % 4 == 0 or b % 4 == 0}
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_minhash_incremental(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "no batch-touching near-dup pair at this sf — vacuous"
+    # both cross and within-batch pairs are exercised
+    assert any(a % 4 == 0 and b % 4 == 0 for a, b, _ in want)
+    assert any((a % 4 == 0) != (b % 4 == 0) for a, b, _ in want)
+
+
+def test_incremental_minhash_plan_broadcasts_batch_bands(spark, sf_dir):
+    """The stored-signature side streams; the batch band buckets are
+    the broadcast side of the cross-candidate join, and corpus text is
+    joined only by candidate id (no full-corpus band self-join)."""
+    from storm_focused_crawler_spark.plans.pipeline_ops import (
+        dedup_minhash_incremental,
+    )
+
+    plan = (
+        dedup_minhash_incremental(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_col_matches_python_twin(spark, sf_dir):
+    """The integer getbit rewrite computes the exact (hi, lo) values of
+    the original bin()-string fold — locked via the spec.xxh64-based
+    python twin on real fixture texts."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    got = {r["doc_id"]: (r["sh"]["hi"], r["sh"]["lo"]) for r in
+           d.select("doc_id", D.simhash_col(F.col("text")).alias("sh")).collect()}
+    for r in d.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == D.simhash_py(r["text"]), r["doc_id"]
