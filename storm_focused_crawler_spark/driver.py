@@ -481,7 +481,29 @@ def run_crawl(
         cfg = dataclasses.replace(cfg, max_budget=max(int(row or 0), 2))
     with open(fixture_paths["seeds"]) as f:
         seeds = [spec.canon(u) for u in json.load(f)]
-    seed_hashes = [spec.xxh64(u) for u in seeds]
+    sitemap_entries: list[tuple[str, float]] = []
+    if "sitemaps" in fixture_paths:
+        # sitemaps.org URL discovery ([R] the reference's seed-discovery
+        # path): parse the (host, body) <urlset> table relationally,
+        # then collect — it is a dim-sized discovery table (one body per
+        # sitemap), the same trust level as the seeds JSON it extends.
+        # Discovered urls enter the round-0 frontier with
+        # score = protocol priority (max across duplicate <loc>s; seeds
+        # keep 0.0 and the better entry wins), and are seen-marked at
+        # round 0 exactly like seeds.  Oracle twin:
+        # seqcrawler.load_sitemaps + crawl(sitemap_entries=...).
+        from storm_focused_crawler_spark.operators import sitemap as SM
+
+        _sm = SM.parse_sitemap_xml(spark.read.parquet(fixture_paths["sitemaps"]))
+        _agg: dict[str, float] = {}
+        for r in _sm.select("loc", "priority").collect():
+            u = spec.canon(r["loc"])
+            if _agg.get(u, -1.0) < r["priority"]:
+                _agg[u] = r["priority"]
+        sitemap_entries = sorted(_agg.items())
+    seed_hashes = [spec.xxh64(u) for u in seeds] + [
+        spec.xxh64(u) for u, _pr in sitemap_entries
+    ]
     url_expansions = None
     if "url_expansions" in fixture_paths:
         # close shortener→shortener chains ONCE on the dim table so the
@@ -512,8 +534,13 @@ def run_crawl(
 
     last = store.latest_round() if resume else None
     if last is None:
+        init: dict[str, float] = {u: 0.0 for u in seeds}
+        for u, pr in sitemap_entries:  # _better twin: higher score wins
+            if pr > init.get(u, -1.0):
+                init[u] = pr
         frontier = spark.createDataFrame(
-            [(u, spec.xxh64(u), 0.0, 0, 0) for u in seeds], FRONTIER_SCHEMA
+            [(u, spec.xxh64(u), sc, 0, 0) for u, sc in sorted(init.items())],
+            FRONTIER_SCHEMA,
         )
         seen = spark.createDataFrame([], SEEN_SCHEMA)
         start = 0

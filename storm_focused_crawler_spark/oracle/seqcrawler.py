@@ -104,7 +104,14 @@ def crawl(
     cfg: CrawlConfig,
     intervals: dict[str, int] | None = None,
     redirects: dict[str, str] | None = None,
+    sitemap_entries: dict[str, float] | None = None,
 ) -> CrawlResult:
+    """*sitemap_entries* maps canon(loc) → sitemaps.org priority
+    (load_sitemaps): discovered urls enter the round-0 frontier with
+    score = priority (seeds keep 0.0; a url that is both takes the
+    BETTER entry, i.e. the priority one), and are seen-marked at round
+    0 exactly like seeds — the twin of driver.run_crawl's sitemap
+    seeding."""
     corpus = latest_captures(pages_rows)
     res = CrawlResult()
     # frontier: canon url -> (score, depth, discovered_round)
@@ -114,7 +121,15 @@ def crawl(
         cand = (0.0, 0, 0)
         if cur is None or _better(cand, cur):
             res.frontier[c] = cand
-    crawl_rounds(res, corpus, seeds, robots, budgets, cfg, 0, cfg.rounds,
+    mark = list(seeds)
+    for u, pr in (sitemap_entries or {}).items():
+        c = spec.canon(u)
+        cand = (pr, 0, 0)
+        cur = res.frontier.get(c)
+        if cur is None or _better(cand, cur):
+            res.frontier[c] = cand
+        mark.append(c)
+    crawl_rounds(res, corpus, mark, robots, budgets, cfg, 0, cfg.rounds,
                  intervals=intervals, redirects=redirects)
     return res
 
@@ -380,4 +395,28 @@ def load_intervals(fix_paths: dict[str, str],
             d = parse_crawl_delay_py(c, user_agent)
             if d is not None and d > 0:
                 out[h] = max(out.get(h, 0), d)
+    return out
+
+
+def load_sitemaps(fix_paths: dict[str, str]) -> dict[str, float]:
+    """canon(loc) → max sitemaps.org priority (default 0.5) across
+    every <url> block of every sitemap body — the exact twin of
+    driver.run_crawl's sitemap load (operators/sitemap.
+    parse_sitemap_xml + driver-side max-priority dedup)."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    sm = pq.read_table(fix_paths["sitemaps"])
+    out: dict[str, float] = {}
+    for body in sm.column("body").to_pylist():
+        for block in _re.findall(r"<url>(.*?)</url>", body):
+            m = _re.search(r"<loc>([^<]*)</loc>", block)
+            if not m or not m.group(1):
+                continue
+            pm = _re.search(r"<priority>([^<]*)</priority>", block)
+            pr = float(pm.group(1)) if pm and pm.group(1) else 0.5
+            u = spec.canon(m.group(1))
+            if out.get(u, -1.0) < pr:
+                out[u] = pr
     return out

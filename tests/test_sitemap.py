@@ -107,3 +107,119 @@ def test_sitemap_plan_no_shuffle(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert plan.count("Generate") == 1  # one explode of url blocks
+
+
+# ------------- sitemap-seeded crawl: engine == sequential oracle -------------
+
+
+def _write_sitemaps(tmp_path, paths):
+    """Deterministic sitemap fixture over real corpus urls: a high-
+    priority loc, a default-priority loc, a loc that is ALSO a seed
+    (better entry must win), a noisy variant needing canonicalization,
+    and a loc absent from the corpus (fetch miss)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from storm_focused_crawler_spark import spec
+
+    corpus_urls = sorted(
+        set(pq.read_table(paths["pages"], columns=["url"]).column("url").to_pylist())
+    )
+    with open(paths["seeds"]) as f:
+        seeds = {spec.canon(u) for u in json.load(f)}
+    # exclude robots-blocked urls (h000 disallows /d1, h007 /d8 in this
+    # fixture) so the round-0 scheduling assertion is non-vacuous
+    blocked = {"h000.example-com": "/d1", "h007.example-org": "/d8"}
+    def ok(u):
+        host, _, path = u.split("://", 1)[1].partition("/")
+        return not ("/" + path).startswith(blocked.get(host, "\x00"))
+    non_seed = [u for u in corpus_urls if spec.canon(u) not in seeds and ok(u)]
+    hi, mid, noisy_target = non_seed[0], non_seed[1], non_seed[2]
+    a_seed = sorted(seeds)[0]
+    ghost = "https://sitemap-only.example/missing"
+    body = (
+        "<urlset>"
+        f"<url><loc>{hi}</loc><priority>0.9</priority></url>"
+        f"<url><loc>{mid}</loc></url>"  # protocol default 0.5
+        f"<url><loc>{a_seed}</loc><priority>0.8</priority></url>"
+        # scheme+host uppercased, fragment appended — canon()s back
+        f"<url><loc>{noisy_target.replace('https://', 'HTTPS://').replace('.example-', '.EXAMPLE-')}#frag</loc><priority>0.7</priority></url>"
+        f"<url><loc>{ghost}</loc><priority>0.6</priority></url>"
+        "</urlset>"
+    )
+    p = str(tmp_path / "sitemaps.parquet")
+    pq.write_table(
+        pa.table({"host": pa.array(["s0.example"]), "body": pa.array([body])}), p
+    )
+    return p, hi, mid, a_seed, noisy_target, ghost
+
+
+def test_sitemap_seeded_crawl_matches_oracle(spark, tmp_path):
+    from storm_focused_crawler_spark import driver as drv
+    from storm_focused_crawler_spark import spec
+    from storm_focused_crawler_spark.fixtures import gen_pages
+    from storm_focused_crawler_spark.oracle import seqcrawler as oc
+
+    paths = dict(gen_pages.ensure("/root/testdata/sf0.001"))
+    sm_path, hi, mid, a_seed, noisy_target, ghost = _write_sitemaps(tmp_path, paths)
+    paths["sitemaps"] = sm_path
+    kw = tuple(gen_pages.topic_keywords())
+
+    cfg = drv.CrawlConfig(rounds=3, capacity=32, keywords=kw)
+    store = drv.run_crawl(spark, paths, cfg, str(tmp_path / "wd"))
+
+    pages_rows, seeds, robots, budgets = oc.load_fixture_inputs(paths)
+    sm = oc.load_sitemaps(paths)
+    assert sm[spec.canon(noisy_target)] == 0.7  # canonicalized on load
+    assert sm[spec.canon(mid)] == 0.5           # protocol default
+    res = oc.crawl(
+        pages_rows, seeds, robots, budgets,
+        oc.CrawlConfig(rounds=3, capacity=32, keywords=kw),
+        sitemap_entries=sm,
+    )
+
+    got_ord = []
+    for r in range(3):
+        got_ord += sorted(
+            (x["round"], x["seq"], x["url"])
+            for x in store.read(spark, r, "ordering").collect()
+        )
+    assert got_ord == sorted(res.ordering)
+    got_seen = {x["url_hash"] for x in store.read_union(spark, 2, "seen").collect()}
+    assert got_seen == res.seen_hashes
+
+    # discovery is load-bearing: the 0.9-priority non-seed url was
+    # scheduled in round 0 (score outranks the 0.0 seeds, within
+    # politeness), and the ghost url is seen-marked but never a result
+    r0 = [u for (r, _s, u) in got_ord if r == 0]
+    assert spec.canon(hi) in r0
+    assert spec.xxh64(spec.canon(ghost)) in got_seen
+    all_res = []
+    for r in range(3):
+        all_res += [x["url"] for x in store.read(spark, r, "results").collect()]
+    assert spec.canon(ghost) not in all_res
+
+
+def test_sitemap_seeding_absent_fixture_unchanged(spark, tmp_path):
+    """Without a sitemaps fixture the crawl is byte-identical to the
+    pre-feature behavior (oracle with no entries)."""
+    from storm_focused_crawler_spark import driver as drv
+    from storm_focused_crawler_spark.fixtures import gen_pages
+    from storm_focused_crawler_spark.oracle import seqcrawler as oc
+
+    paths = gen_pages.ensure("/root/testdata/sf0.001")
+    kw = tuple(gen_pages.topic_keywords())
+    cfg = drv.CrawlConfig(rounds=2, capacity=16, keywords=kw)
+    store = drv.run_crawl(spark, paths, cfg, str(tmp_path / "wd0"))
+    pages_rows, seeds, robots, budgets = oc.load_fixture_inputs(paths)
+    res = oc.crawl(pages_rows, seeds, robots, budgets,
+                   oc.CrawlConfig(rounds=2, capacity=16, keywords=kw))
+    got = []
+    for r in range(2):
+        got += sorted(
+            (x["round"], x["seq"], x["url"])
+            for x in store.read(spark, r, "ordering").collect()
+        )
+    assert got == sorted(res.ordering)
