@@ -17,6 +17,11 @@ a documents table, built entirely from this repo's registry operators:
   → language ID + gate (functions/langid, char 1-3-gram profiles)
   → exact dedup (keep min doc_id per identical text)
   → near-dup removal (MinHash-LSH verified pairs → resolution rule)
+  → cross-batch dedup (optional --dedup-against PRIOR_OUT: drop docs
+    near-dupping the PRIOR run's survivors, via the persisted MinHash
+    signatures operators/dedup.incremental_minhash_pairs consumes —
+    the corpus is never re-signatured; --write-sigs persists this
+    run's survivor signatures for the NEXT batch)
   → benchmark decontamination (optional --benchmark parquet, GPT-3
     App. C word-8-gram rule via operators/curation.decontam_hits)
   → ExactSubstr scrub (optional --substr-scrub, Lee et al. 2021:
@@ -74,6 +79,12 @@ def parse_args(argv=None):
                     help="CCNet-style LM-perplexity gate: drop these tertile "
                     "buckets (LM trained on the doc_id%%5 slice of the "
                     "already-gated corpus); none = stage skipped")
+    ap.add_argument("--dedup-against", default=None,
+                    help="a PRIOR run's --out dir: drop docs near-dupping "
+                    "its survivors (reads clean/ + minhash_sigs/)")
+    ap.add_argument("--write-sigs", action="store_true",
+                    help="persist survivor MinHash signatures under --out "
+                    "for the next batch's --dedup-against")
     ap.add_argument("--normalize", action="store_true",
                     help="NFC + whitespace-collapse the text first, so "
                     "byte-variants hash/dedup together")
@@ -104,7 +115,9 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
                  host_min_quality: float = 0.3,
                  host_min_docs: int = 5,
                  gopher_rules: bool = False,
-                 gopher_stopwords: list[str] | None = None) -> dict:
+                 gopher_stopwords: list[str] | None = None,
+                 dedup_against: str | None = None,
+                 write_sigs: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from storm_focused_crawler_spark.functions import langid as L
@@ -208,6 +221,32 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
     clean = q.join(losers, "doc_id", "left_anti").persist()
     n_clean = clean.count()
 
+    # 4a2. cross-batch dedup (optional): drop survivors near-dupping a
+    # PRIOR run's surviving corpus — its signatures were persisted by
+    # --write-sigs, so the prior corpus is never re-signatured and its
+    # text is read only for candidate ids (incremental_minhash_pairs)
+    n_cross = None
+    if dedup_against:
+        prior_clean = spark.read.parquet(f"{dedup_against}/clean")
+        prior_sigs = spark.read.parquet(
+            f"{dedup_against}/minhash_sigs"
+        ).withColumnRenamed("doc_id", "_id")  # minhash_signature shape
+        pairs_x = D.incremental_minhash_pairs(
+            clean, prior_clean, prior_sigs, "doc_id", "text", jaccard
+        )
+        prior_ids = prior_clean.select(F.col("doc_id").alias("pid"))
+        # drop the CURRENT side of every cross pair (either endpoint may
+        # be the prior doc — resolve by membership, not id order)
+        drop = (
+            pairs_x.join(prior_ids, pairs_x.id_a == F.col("pid"), "left")
+            .withColumn("victim", F.when(F.col("pid").isNotNull(), F.col("id_b")).otherwise(F.col("id_a")))
+            .select(F.col("victim").alias("doc_id")).distinct()
+        )
+        clean2 = clean.join(drop, "doc_id", "left_anti").persist()
+        n_cross = clean2.count()
+        clean.unpersist()
+        clean = clean2
+
     # 4b. benchmark decontamination (GPT-3 App. C): drop survivors
     # sharing any word 8-gram with the eval set
     n_decontam = None
@@ -233,6 +272,12 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
     # (per-row codegen, no shuffle); keep the per-doc counts as columns
     clean = CU.pii_scrub(clean, "text")
 
+    if write_sigs:
+        # survivor signatures for the NEXT batch's --dedup-against
+        D.minhash_signature(clean, "doc_id", "text").withColumnRenamed(
+            "_id", "doc_id"
+        ).write.mode("overwrite").parquet(f"{out}/minhash_sigs")
+
     # 5. inverted index over the surviving (redacted) corpus
     post = TI.postings(clean, "doc_id", "text")
     clean.write.mode("overwrite").parquet(f"{out}/clean")
@@ -252,6 +297,8 @@ def run_pipeline(spark, docs_path: str, out: str, min_quality: float,
         "dedup_resolution": dedup_resolution,
         "out": out,
     }
+    if n_cross is not None:
+        summary["after_cross_dedup"] = n_cross
     if n_host is not None:
         summary["after_host_gate"] = n_host
     if n_gopher is not None:
@@ -290,6 +337,8 @@ def main(argv=None) -> int:
         gopher_stopwords=(
             args.gopher_stopwords.split(",") if args.gopher_stopwords else None
         ),
+        dedup_against=args.dedup_against,
+        write_sigs=args.write_sigs,
     )
     print(json.dumps(summary))
     spark.stop()

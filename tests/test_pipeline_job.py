@@ -162,3 +162,49 @@ def test_pipeline_normalize_host_gate_gopher_stages(spark, sf_dir, tmp_path):
     # normalization idempotent: the surviving text is its own normal form
     renorm = CU.normalize_text(clean.select("doc_id", "text"))
     assert renorm.filter(F.col("text") != F.col("text_norm")).count() == 0
+
+
+def test_pipeline_cross_batch_incremental_dedup(spark, tmp_path):
+    """Two-batch recurring ingestion: batch A runs with --write-sigs;
+    batch B runs with --dedup-against A's output and must drop exactly
+    its docs that near-dup A's SURVIVORS (not A's pre-dedup inputs),
+    without re-signaturing A."""
+    import pandas as pd
+
+    # all-distinct tokens per doc (the Gopher repetition gate must NOT
+    # fire); the lang gate is bypassed by allowing every possible pred
+    base = "the " + " ".join(f"w{i}" for i in range(60))
+    variant = base.replace("w30", "zz", 1)           # shingle jaccard ≈ 0.9
+    uniq = "the " + " ".join(f"u{i}" for i in range(60))
+    novel = "the " + " ".join(f"v{i}" for i in range(60))
+    a_rows = [
+        (0, base, "en", "src0", len(base)),
+        (2, base, "en", "src0", len(base)),      # exact dup of 0 — dropped in A
+        (4, uniq, "en", "src1", len(uniq)),
+    ]
+    b_rows = [
+        (1, variant, "en", "src0", len(variant)),  # near-dups A's survivor 0
+        (3, uniq + " x1 x2 x3", "en", "src1", len(uniq) + 9),  # near-dups 4
+        (5, novel, "en", "src2", len(novel)),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    pa_dir, pb_dir = str(tmp_path / "A.parquet"), str(tmp_path / "B.parquet")
+    pd.DataFrame(a_rows, columns=cols).to_parquet(pa_dir)
+    pd.DataFrame(b_rows, columns=cols).to_parquet(pb_dir)
+
+    out_a = str(tmp_path / "outA")
+    all_langs = {"en", "de", "fr", "es", "zh"}
+    sa = run_pipeline(spark, pa_dir, out_a, min_quality=0.0, langs=all_langs,
+                      jaccard=0.5, write_sigs=True)
+    assert sa["after_near_dedup"] == 2  # 0 survives, 2 dropped, 4 survives
+    assert spark.read.parquet(f"{out_a}/minhash_sigs").count() == 2
+
+    out_b = str(tmp_path / "outB")
+    sb = run_pipeline(spark, pb_dir, out_b, min_quality=0.0, langs=all_langs,
+                      jaccard=0.5, dedup_against=out_a)
+    survivors = {r["doc_id"] for r in
+                 spark.read.parquet(f"{out_b}/clean").select("doc_id").collect()}
+    assert sb["after_cross_dedup"] == len(survivors)
+    assert 1 not in survivors      # near-dup of A's doc 0
+    assert 3 not in survivors      # near-dup of A's doc 4
+    assert 5 in survivors          # novel content passes
