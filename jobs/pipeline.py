@@ -41,6 +41,7 @@ Near-dup resolution (--dedup-resolution):
   Both rules leave a survivor set with zero verified pairs inside it.
 
 Outputs under --out: clean/ (surviving docs), postings/, token_df/,
+minhash_sigs/ (with --write-sigs — next batch's --dedup-against input),
 and a summary JSON line on stdout (one line, machine-readable — same
 contract as bench.py).
 
