@@ -217,11 +217,18 @@ def run_bench(spark, sf_dir: str) -> dict:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        _exec(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    # per-query min of TWO passes: this host's neighbor noise runs in
+    # hours-long phases that inflate identical jobs ~2x (BENCH/
+    # BASELINE.md) — crawl_e2e is min-of-4 and the frontier pipeline
+    # min-of-3 for the same reason; the minimum of repeated identical
+    # work is the engine's actual cost
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            _exec(fn(spark, sf_dir))
+            sec = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, sec), sec)
 
     # sim_knn_lsh transparency (VERDICT r04 #3): the derived geometry
     # plus the MEASURED candidate fraction at this SF, so a regression
