@@ -222,6 +222,18 @@ def main() -> None:
          "+ one per-doc agg.  The only global sort is the ntile over "
          "DOC-level rows — 3-4 orders of magnitude fewer than tokens.",
          REGISTRY["quality_lm_perplexity"][0](spark, SF)),
+        ("Incremental batch-vs-corpus MinHash (dedup_minhash_incremental)",
+         "The stored-signature side streams its band buckets; the BATCH "
+         "side broadcasts into the (band, bh) equi-join; corpus text is "
+         "re-read only via candidate-id joins.  No cross product, no "
+         "full-corpus re-signature.",
+         REGISTRY["dedup_minhash_incremental"][0](spark, SF)),
+        ("SimHash near-dup (dedup_simhash)",
+         "The exchange after the signature select is load-bearing: it "
+         "stops codegen from inlining the 64-bit getbit fold into all "
+         "eight downstream references (4 band structs x 2 join sides) — "
+         "measured 2.4x at sf0.1.  The shuffle ships 24 bytes/doc.",
+         REGISTRY["dedup_simhash"][0](spark, SF)),
         ("Gopher quality rules (quality_gopher_rules)",
          "All seven A1 heuristics are per-row JVM array/string expressions "
          "over the derived multi-line corpus — ZERO Exchange in the whole "
