@@ -223,3 +223,35 @@ def test_sitemap_seeding_absent_fixture_unchanged(spark, tmp_path):
             for x in store.read(spark, r, "ordering").collect()
         )
     assert got == sorted(res.ordering)
+
+
+def test_sitemap_seeded_crawl_resumes_exactly(spark, tmp_path):
+    """Kill/resume with a sitemaps fixture: rounds 0-1, then resume to
+    round 3 — ordering must equal an uninterrupted 4-round run (the
+    sitemap entries live in the round-0 checkpoint; resume must not
+    re-inject or reorder them)."""
+    from storm_focused_crawler_spark import driver as drv
+    from storm_focused_crawler_spark.fixtures import gen_pages
+
+    paths = dict(gen_pages.ensure("/root/testdata/sf0.001"))
+    sm_path, *_ = _write_sitemaps(tmp_path, paths)
+    paths["sitemaps"] = sm_path
+    kw = tuple(gen_pages.topic_keywords())
+
+    full = drv.run_crawl(
+        spark, paths, drv.CrawlConfig(rounds=4, capacity=32, keywords=kw),
+        str(tmp_path / "full"),
+    )
+    wd = str(tmp_path / "resumed")
+    drv.run_crawl(spark, paths, drv.CrawlConfig(rounds=2, capacity=32, keywords=kw), wd)
+    resumed = drv.run_crawl(
+        spark, paths, drv.CrawlConfig(rounds=4, capacity=32, keywords=kw),
+        wd, resume=True,
+    )
+    for r in range(4):
+        a = sorted(map(tuple, full.read(spark, r, "ordering").collect()))
+        b = sorted(map(tuple, resumed.read(spark, r, "ordering").collect()))
+        assert a == b, f"round {r} diverged across resume"
+    sa = {x["url_hash"] for x in full.read_union(spark, 3, "seen").collect()}
+    sb = {x["url_hash"] for x in resumed.read_union(spark, 3, "seen").collect()}
+    assert sa == sb
