@@ -1388,3 +1388,42 @@ def dedup_minhash_incremental(spark, sf_dir):
     store.write_round(0, {"minhash_sigs": D.minhash_signature(corpus, "doc_id", "text")})
     sigs = store.read(spark, 0, "minhash_sigs")
     return D.incremental_minhash_pairs(batch, corpus, sigs, threshold=0.5)
+
+
+# ======================= corpus statistics (data card) ======================
+
+# pytest-level oracle (window full at 50): exact per-(lang, source)
+# data-card numbers — integer sums with ONE final division + round(6),
+# and a linearly-interpolated exact median (both engines use
+# a + (b-a)*0.5 over small ints — double-exact).
+CORPUS_STATS_ORACLE = """
+WITH t AS (
+  SELECT lang, source, n_chars,
+    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> '')) AS n_tok
+  FROM documents)
+SELECT lang, source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+  round(sum(n_tok) / count(*), 6) AS mean_tokens,
+  quantile_cont(n_chars, 0.5) AS median_chars
+FROM t GROUP BY 1, 2"""
+
+
+@op("corpus_stats_report", None)  # DuckDB-checked via pytest
+def corpus_stats_report(spark, sf_dir):
+    """Per-(lang, source) corpus statistics — the data-card numbers a
+    curation run publishes (doc counts, token mass, mean doc tokens,
+    median doc chars).  100 TB shape: one map-side-combinable hash agg
+    onto a dim-sized (lang, source) key; the exact median is fine here
+    because groups are few — at petabyte scale swap percentile() for
+    percentile_approx (agg_quantile_latency is the sketch-path twin)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    t = d.select("lang", "source", "n_chars", F.size(toks).alias("n_tok"))
+    return t.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.round(F.sum("n_tok") / F.count("*"), 6).alias("mean_tokens"),
+        F.percentile("n_chars", F.lit(0.5)).alias("median_chars"),
+    )

@@ -253,3 +253,24 @@ def test_simhash_col_matches_python_twin(spark, sf_dir):
            d.select("doc_id", D.simhash_col(F.col("text")).alias("sh")).collect()}
     for r in d.select("doc_id", "text").collect():
         assert got[r["doc_id"]] == D.simhash_py(r["text"]), r["doc_id"]
+
+
+def test_corpus_stats_report_matches_duckdb(spark, sf_dir):
+    """Data-card numbers double-exact vs DuckDB, including the
+    interpolated median, over every (lang, source) group."""
+    import duckdb
+
+    from storm_focused_crawler_spark.plans.pipeline_ops import (
+        CORPUS_STATS_ORACLE,
+        corpus_stats_report,
+    )
+
+    got = {(r["lang"], r["source"]):
+           (r["n_docs"], r["sum_tokens"], r["mean_tokens"], r["median_chars"])
+           for r in corpus_stats_report(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = {(l, s): (n, st, mt, mc)
+            for l, s, n, st, mt, mc in con.execute(CORPUS_STATS_ORACLE).fetchall()}
+    assert got == want
+    assert len(got) > 1
