@@ -114,10 +114,12 @@ def incremental_minhash_pairs(
 
     Scale shape: the stored signature table re-derives band buckets
     without touching corpus text; cross candidates come from a
-    (band, bh) equi-join where only the BATCH side is small (typically
-    broadcast by AQE); exact verification re-reads corpus text ONLY for
-    candidate ids (an id equi-join the scan can prune on).  Within-batch
-    pairs reuse the batch path on the new docs alone."""
+    (band, bh) equi-join with the batch bands broadcast — batch ≪
+    corpus IS the incremental contract (a batch too big to broadcast
+    its (id, band, bh) rows should run the full minhash_lsh_pairs
+    path); exact verification re-reads corpus text ONLY for candidate
+    ids (an id equi-join the scan can prune on).  Within-batch pairs
+    reuse the batch path on the new docs alone."""
     new_sig = minhash_signature(new_docs, id_col, text_col)
     cand = (
         minhash_band_buckets(corpus_sigs).alias("o")
