@@ -1427,3 +1427,48 @@ def corpus_stats_report(spark, sf_dir):
         F.round(F.sum("n_tok") / F.count("*"), 6).alias("mean_tokens"),
         F.percentile("n_chars", F.lit(0.5)).alias("median_chars"),
     )
+
+
+@op("stateful_doc_dedup", None)
+def stateful_doc_dedup(spark, sf_dir):
+    """Streaming curation ingestion's exact-dedup stage (streaming/
+    live.doc_dedup_stream): sharded applyInPandasWithState over a
+    file-streamed document feed — each distinct text emitted exactly
+    once across micro-batches (pytest: tests/test_streaming.py).
+    Rows-only oracle; memory-sink harness shim like stateful_seen_set."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    feed = tempfile.mkdtemp(prefix="docfeed_")
+    try:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        ranked = d.orderBy("doc_id").limit(400)
+        ranked.limit(250).write.mode("overwrite").parquet(os.path.join(feed, "b0"))
+        ranked.write.mode("overwrite").parquet(os.path.join(feed, "b1"))
+
+        from storm_focused_crawler_spark.streaming.live import doc_dedup_stream
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed + "/*")
+        )
+        name = f"dd_{uuid.uuid4().hex[:8]}"
+        q = (
+            doc_dedup_stream(stream, n_shards=8)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(120)
+        assert finished, "stateful_doc_dedup stream did not drain within 120s"
+        rows = spark.sql(f"SELECT doc_id, text_hash, shard FROM {name} ORDER BY doc_id")
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)

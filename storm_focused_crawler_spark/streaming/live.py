@@ -251,6 +251,65 @@ def seen_filter_stream(urls: DataFrame, n_shards: int = N_SHARDS_DEFAULT) -> Dat
 
 
 # ---------------------------------------------------------------------------
+# stateful DOCUMENT dedup — streaming curation ingestion (the curation
+# pipeline's exact-dedup stage as stream state; the doc twin of the
+# URL-seen filter above, kept separate so the crawl path stays pinned)
+# ---------------------------------------------------------------------------
+
+DOC_DEDUP_OUT_SCHEMA = "doc_id long, text_hash long, shard int"
+
+
+def _doc_dedup_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.DataFrame]":
+    """Emit only first-ever-seen text hashes of this shard; state =
+    sorted int64 hash array (numpy bytes — bounded, vectorized)."""
+    import numpy as np
+
+    seen = (
+        np.frombuffer(state.get[0], dtype=np.int64)
+        if state.exists
+        else np.empty(0, dtype=np.int64)
+    )
+    for pdf in pdf_iter:
+        h = pdf["text_hash"].to_numpy(dtype=np.int64)
+        first_ix = ~pdf["text_hash"].duplicated().to_numpy()
+        if len(seen):
+            idx = np.clip(np.searchsorted(seen, h), 0, len(seen) - 1)
+            unseen = seen[idx] != h
+        else:
+            unseen = np.ones(len(h), dtype=bool)
+        keep = first_ix & unseen
+        if keep.any():
+            out = pdf.loc[keep, ["doc_id", "text_hash", "shard"]]
+            seen = np.unique(np.concatenate([seen, h[keep]]))
+            yield out
+    state.update((seen.tobytes(),))
+
+
+def doc_dedup_stream(docs: DataFrame, n_shards: int = N_SHARDS_DEFAULT) -> DataFrame:
+    """Streaming exact document dedup for continuous curation
+    ingestion: each distinct text is emitted exactly once across all
+    micro-batches (survivor = first arrival; within a batch, input
+    order).  Input: streaming frame with (doc_id, text).  State is
+    keyed by shard = pmod(xxhash64(text), n_shards), so per-group state
+    is |distinct|/n_shards and parallelism scales with shards — the
+    same discipline as the batch seen tables and the URL filter above.
+    Downstream batch stages (near-dup, decontam) run per landing
+    partition via jobs/pipeline.py --dedup-against."""
+    keyed = docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_hash"),
+        F.pmod(F.xxhash64("text"), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _doc_dedup_fn,
+        outputStructType=DOC_DEDUP_OUT_SCHEMA,
+        stateStructType=SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
 # end-to-end continuous crawl — the reference topology as chained
 # streaming queries with a link feedback loop
 # ---------------------------------------------------------------------------

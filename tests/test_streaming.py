@@ -189,3 +189,53 @@ def test_politeness_stream_multichunk_group_is_global_min(spark, tmp_path):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_doc_dedup_stream_exactly_once(spark, tmp_path):
+    """Streaming curation ingestion: each distinct TEXT is emitted
+    exactly once across micro-batches (first arrival wins), matching
+    the batch exact-dedup distinct-count on the union of all batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    texts = [f"the doc number {i % 25} body words" for i in range(60)]
+    batches = [
+        list(zip(range(0, 20), texts[0:20])),
+        list(zip(range(20, 40), texts[20:40])),   # re-sends the same 25 texts
+        list(zip(range(40, 60), texts[40:60])),
+    ]
+    for i, rows in enumerate(batches):
+        ids, ts = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(ts, pa.string())}),
+            d / f"b{i}.parquet",
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = live.doc_dedup_stream(stream, n_shards=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("docdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, text_hash FROM docdedup").collect()
+    assert len(rows) == 25                                  # one per distinct text
+    assert len({r["text_hash"] for r in rows}) == 25
+    # survivor = first arrival: every emitted doc_id is the minimal id
+    # of its text (ids increase with arrival order in this fixture)
+    import pandas as pd
+
+    full = pd.concat([pd.read_parquet(d / f"b{i}.parquet") for i in range(3)])
+    first = full.groupby("text", sort=False)["doc_id"].min()
+    assert sorted(r["doc_id"] for r in rows) == sorted(first.tolist())
