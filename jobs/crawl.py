@@ -53,6 +53,9 @@ def parse_args(argv=None):
                     help="commit inverted-index postings deltas per round")
     ap.add_argument("--url-expansions", default=None,
                     help="(short_url, long_url) parquet mapping for shortener resolution")
+    ap.add_argument("--max-depth", type=int, default=None,
+                    help="focused-crawl depth cap: links deeper than this "
+                         "are observed but never enqueued (seeds = depth 0)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--keywords", default=None, help="comma-separated topic keywords")
     ap.add_argument("--host-rank-weight", type=float, default=0.0,
@@ -115,7 +118,8 @@ def main(argv=None) -> int:
                       host_rank_iters=args.host_rank_iters,
                       scorer=args.scorer,
                       nb_target_topic=args.nb_target_topic,
-                      user_agent=args.user_agent)
+                      user_agent=args.user_agent,
+                      max_depth=args.max_depth)
     t0 = time.time()
     if args.recrawl or args.recrawl_age is not None:
         import os

@@ -103,6 +103,11 @@ class CrawlConfig:
     # inside a round_ms round (operators/frontier.dequeue; oracle twin
     # in seqcrawler applies the identical integer-exact cap)
     round_ms: int = 60_000
+    # focused-crawl depth cap ([R] the topology's crawl-depth guard):
+    # links at depth > max_depth are OBSERVED (host graph, metrics) but
+    # never enqueued; None = unbounded.  Seeds are depth 0.  Oracle
+    # twin: seqcrawler.CrawlConfig.max_depth.
+    max_depth: int | None = None
 
 
 # --------------------------------------------------------------------------
@@ -318,7 +323,12 @@ def run_round(
         seen_delta = seen_delta.unionByName(seeds_df).distinct()
     seen_next = seen.select("url_hash").unionByName(seen_delta)
 
-    new_unseen = links.join(seen_next, "url_hash", "left_anti")
+    enqueueable = links
+    if cfg.max_depth is not None:
+        # depth cap gates ENQUEUE only — the host graph above already
+        # observed every extracted edge, like the oracle
+        enqueueable = links.filter(F.col("depth") <= cfg.max_depth)
+    new_unseen = enqueueable.join(seen_next, "url_hash", "left_anti")
     rest = frontier.join(emitted, "url_hash", "left_anti")
     merged = rest.unionByName(new_unseen)
     # per-url best entry by (max score, min depth, min discovered_round):

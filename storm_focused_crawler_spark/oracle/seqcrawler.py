@@ -44,6 +44,9 @@ class CrawlConfig:
     nb_target_topic: str = "databases"
     # crawl-delay round window (driver.CrawlConfig.round_ms twin)
     round_ms: int = 60_000
+    # focused-crawl depth cap (driver.CrawlConfig.max_depth twin):
+    # links deeper than this are observed but never enqueued
+    max_depth: int | None = None
 
 
 @dataclass
@@ -248,6 +251,8 @@ def crawl_rounds(
                 res.seen_hashes.add(spec.xxh64(spec.canon(s)))
         # --- frontier union + dedup ------------------------------------------
         for link, sc, dep in new_links:
+            if cfg.max_depth is not None and dep > cfg.max_depth:
+                continue  # observed (host_edges above) but never enqueued
             if spec.xxh64(link) in res.seen_hashes:
                 continue
             cand = (sc, dep, r + 1)

@@ -196,3 +196,46 @@ def test_crawl_parity_with_routed_cuckoo(spark, fixture_paths, oracle_result, tm
     assert ordering == sorted(oracle_result.ordering)
     assert seen == oracle_result.seen_hashes
     assert set(results) == {t[2] for t in oracle_result.results}
+
+
+def test_max_depth_cap_matches_oracle(spark, tmp_path):
+    """Depth-capped crawl (max_depth=1: seeds + their direct links
+    only): 3-round engine == oracle ordering and seen set; the cap is
+    non-vacuous (the unbounded run schedules deeper urls) and no
+    frontier snapshot ever holds a row beyond the cap."""
+    from storm_focused_crawler_spark import driver as drv
+    from storm_focused_crawler_spark.fixtures import gen_pages
+    from storm_focused_crawler_spark.oracle import seqcrawler as oc
+
+    paths = gen_pages.ensure("/root/testdata/sf0.001")
+    kw = tuple(gen_pages.topic_keywords())
+    capped = drv.run_crawl(
+        spark, paths, drv.CrawlConfig(rounds=3, capacity=32, keywords=kw, max_depth=1),
+        str(tmp_path / "cap"),
+    )
+    pages_rows, seeds, robots, budgets = oc.load_fixture_inputs(paths)
+    res = oc.crawl(pages_rows, seeds, robots, budgets,
+                   oc.CrawlConfig(rounds=3, capacity=32, keywords=kw, max_depth=1))
+    got = []
+    for r in range(3):
+        got += sorted(
+            (x["round"], x["seq"], x["url"])
+            for x in capped.read(spark, r, "ordering").collect()
+        )
+    assert got == sorted(res.ordering)
+    seen = {x["url_hash"] for x in capped.read_union(spark, 2, "seen").collect()}
+    assert seen == res.seen_hashes
+    for r in range(3):
+        assert capped.read(spark, r, "frontier").filter("depth > 1").count() == 0
+
+    free = drv.run_crawl(
+        spark, paths, drv.CrawlConfig(rounds=3, capacity=32, keywords=kw),
+        str(tmp_path / "free"),
+    )
+    free_ord = []
+    for r in range(3):
+        free_ord += sorted(
+            (x["round"], x["seq"], x["url"])
+            for x in free.read(spark, r, "ordering").collect()
+        )
+    assert free_ord != got, "cap vacuous at this fixture"
