@@ -446,7 +446,9 @@ def run_crawl(
     corpus = spark.read.parquet(corpus_path)
     robots = spark.read.parquet(fixture_paths["robots"])
     host_budget = spark.read.parquet(fixture_paths["host_budget"])
+    robots_bodies = None  # raw bodies, kept for sitemap discovery below
     if "content" in robots.columns:
+        robots_bodies = robots
         # raw robots.txt bodies: RFC 9309 §2.2.1 user-agent group
         # selection happens HERE, once per crawl (robots is dim-sized);
         # the oracle twin parses with robots.parse_robots_py in lockstep.
@@ -504,7 +506,20 @@ def run_crawl(
         # seqcrawler.load_sitemaps + crawl(sitemap_entries=...).
         from storm_focused_crawler_spark.operators import sitemap as SM
 
-        _sm = SM.parse_sitemap_xml(spark.read.parquet(fixture_paths["sitemaps"]))
+        sm_raw = spark.read.parquet(fixture_paths["sitemaps"])
+        if "sitemap_url" in sm_raw.columns and robots_bodies is not None:
+            # full discovery chain: crawl only the sitemaps DECLARED by
+            # a robots body's `Sitemap:` directive (group-independent,
+            # RFC 9309 §2.2.4 / sitemaps.org).  Twin filter in
+            # seqcrawler.load_sitemaps.
+            from storm_focused_crawler_spark.operators import robots as RB
+
+            declared = (
+                RB.extract_sitemaps(robots_bodies)
+                .select("sitemap_url").distinct()
+            )
+            sm_raw = sm_raw.join(F.broadcast(declared), "sitemap_url", "left_semi")
+        _sm = SM.parse_sitemap_xml(sm_raw)
         _agg: dict[str, float] = {}
         for r in _sm.select("loc", "priority").collect():
             u = spec.canon(r["loc"])

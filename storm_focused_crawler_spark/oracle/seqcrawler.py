@@ -407,14 +407,32 @@ def load_sitemaps(fix_paths: dict[str, str]) -> dict[str, float]:
     """canon(loc) → max sitemaps.org priority (default 0.5) across
     every <url> block of every sitemap body — the exact twin of
     driver.run_crawl's sitemap load (operators/sitemap.
-    parse_sitemap_xml + driver-side max-priority dedup)."""
+    parse_sitemap_xml + driver-side max-priority dedup).
+
+    Full discovery chain: when the robots fixture carries RAW bodies
+    AND the sitemap table carries a ``sitemap_url`` column, only the
+    sitemaps DECLARED by some robots ``Sitemap:`` directive are read —
+    the twin of the engine's extract_sitemaps semi-join."""
     import re as _re
 
     import pyarrow.parquet as pq
 
     sm = pq.read_table(fix_paths["sitemaps"])
+    declared: set[str] | None = None
+    rb = pq.read_table(fix_paths["robots"])
+    if "content" in rb.column_names and "sitemap_url" in sm.column_names:
+        declared = set()
+        for c in rb.column("content").to_pylist():
+            declared |= set(_re.findall(r"(?im)^sitemap:\s*(\S+)\s*$", c))
+    urls = (
+        sm.column("sitemap_url").to_pylist()
+        if "sitemap_url" in sm.column_names
+        else [None] * sm.num_rows
+    )
     out: dict[str, float] = {}
-    for body in sm.column("body").to_pylist():
+    for su, body in zip(urls, sm.column("body").to_pylist()):
+        if declared is not None and su not in declared:
+            continue
         for block in _re.findall(r"<url>(.*?)</url>", body):
             m = _re.search(r"<loc>([^<]*)</loc>", block)
             if not m or not m.group(1):
