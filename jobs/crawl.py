@@ -53,6 +53,8 @@ def parse_args(argv=None):
                     help="commit inverted-index postings deltas per round")
     ap.add_argument("--url-expansions", default=None,
                     help="(short_url, long_url) parquet mapping for shortener resolution")
+    ap.add_argument("--max-pages-per-host", type=int, default=None,
+                    help="cumulative per-host page quota across all rounds")
     ap.add_argument("--max-depth", type=int, default=None,
                     help="focused-crawl depth cap: links deeper than this "
                          "are observed but never enqueued (seeds = depth 0)")
@@ -119,7 +121,8 @@ def main(argv=None) -> int:
                       scorer=args.scorer,
                       nb_target_topic=args.nb_target_topic,
                       user_agent=args.user_agent,
-                      max_depth=args.max_depth)
+                      max_depth=args.max_depth,
+                      max_pages_per_host=args.max_pages_per_host)
     t0 = time.time()
     if args.recrawl or args.recrawl_age is not None:
         import os

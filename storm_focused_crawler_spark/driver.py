@@ -103,6 +103,11 @@ class CrawlConfig:
     # inside a round_ms round (operators/frontier.dequeue; oracle twin
     # in seqcrawler applies the identical integer-exact cap)
     round_ms: int = 60_000
+    # cumulative per-host page quota ([R] crawl-budget guard): across
+    # ALL rounds, a host is fetched at most this many times; the spent
+    # count is a checkpointed dim snapshot (host_used) like host_sched.
+    # None = unbounded.  Oracle twin: seqcrawler max_pages_per_host.
+    max_pages_per_host: int | None = None
     # focused-crawl depth cap ([R] the topology's crawl-depth guard):
     # links at depth > max_depth are OBSERVED (host graph, metrics) but
     # never enqueued; None = unbounded.  Seeds are depth 0.  Oracle
@@ -154,6 +159,7 @@ def run_round(
     url_expansions: DataFrame | None = None,
     host_ranks: DataFrame | None = None,
     host_carry: DataFrame | None = None,
+    host_used: DataFrame | None = None,
     redirects: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Pure transformation: state-in → {ordering, results, frontier, seen, metrics}.
@@ -194,7 +200,8 @@ def run_round(
             .drop("rank_i")
         )
     deq = dequeue(elig, host_budget, cfg.capacity, cfg.n_salts, cfg.max_budget,
-                  round_ms=cfg.round_ms, host_carry=host_carry)
+                  round_ms=cfg.round_ms, host_carry=host_carry,
+                  host_cap=cfg.max_pages_per_host, host_used=host_used)
     deq = (
         deq.select("url", "url_hash", "score", "depth", "seq", "host", "sched_ms")
         .observe(obs["dequeued"], F.count(F.lit(1)).alias("rows"))
@@ -396,6 +403,12 @@ def run_round(
                     "last_abs_ms"
                 )
             )
+        )
+    if cfg.max_pages_per_host is not None:
+        # per-host quota spend THIS round (dim-sized, ≤ capacity rows);
+        # run_crawl merges it into the checkpointed full snapshot
+        out_tables["host_used"] = deq.groupBy("host").agg(
+            F.count("*").cast("long").alias("used")
         )
     out_tables.update({
         "frontier": frontier_next,
@@ -642,6 +655,11 @@ def run_crawl(
                     )
                     .filter(F.col("carry_ms") > 0)
                 )
+        prev_used = host_used = None
+        if cfg.max_pages_per_host is not None and rnd > 0:
+            pm = store.manifest(rnd - 1)
+            if "host_used" in pm["tables"]:
+                prev_used = host_used = store.read(spark, rnd - 1, "host_used")
         compact_now = cfg.compact_every > 0 and (rnd + 1) % cfg.compact_every == 0
         out = run_round(
             spark, corpus, frontier, seen, robots, host_budget, cfg, rnd, seed_hashes,
@@ -650,8 +668,16 @@ def run_crawl(
             url_expansions=url_expansions,
             host_ranks=host_ranks,
             host_carry=host_carry,
+            host_used=host_used,
             redirects=redirects,
         )
+        if "host_used" in out and prev_used is not None:
+            # full snapshot = prior spend ∪ this round's delta, summed
+            out["host_used"] = (
+                prev_used.unionByName(out["host_used"])
+                .groupBy("host")
+                .agg(F.sum("used").alias("used"))
+            )
         if "host_sched" in out and prev_sched is not None:
             # full snapshot = prior clock ∪ this round's delta, latest
             # fetch per host — only the newest snapshot is ever read
@@ -739,6 +765,7 @@ def run_crawl(
         if compact_now and has_interval:
             # host_sched is likewise a full snapshot; keep only the latest
             store.prune_table("host_sched", rnd)
+            store.prune_table("host_used", rnd)
         # cut lineage: next round reads the committed snapshot
         frontier = store.read(spark, rnd, "frontier")
         seen = store.read_union(spark, rnd, "seen")

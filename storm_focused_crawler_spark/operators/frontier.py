@@ -81,6 +81,8 @@ def dequeue(
     max_budget: int | None = None,
     round_ms: int = 60_000,
     host_carry: DataFrame | None = None,
+    host_cap: int | None = None,
+    host_used: DataFrame | None = None,
 ) -> DataFrame:
     """§2.1-5: per host top-budget, then global top-C; adds ``seq``.
 
@@ -138,6 +140,23 @@ def dequeue(
     b = elig.join(F.broadcast(host_budget), "host", "left").withColumn(
         "budget", F.coalesce(F.col("budget"), F.lit(DEFAULT_BUDGET))
     )
+    if host_cap is not None:
+        # cumulative per-host page quota ([R] crawl-budget guard): a
+        # host that has fetched `used` pages across all prior rounds
+        # has quota host_cap − used left; like the crawl-delay cap this
+        # can only LOWER budgets, so the literal WindowGroupLimit bound
+        # still dominates.  host_used is the checkpointed dim snapshot.
+        if host_used is not None:
+            b = b.join(F.broadcast(host_used), "host", "left")
+            used = F.coalesce(F.col("used"), F.lit(0).cast("long"))
+        else:
+            used = F.lit(0).cast("long")
+        quota = F.greatest(
+            F.lit(host_cap).cast("long") - used, F.lit(0).cast("long")
+        ).cast("int")
+        b = b.withColumn("budget", F.least(F.col("budget"), quota))
+        if host_used is not None:
+            b = b.drop("used")
     has_interval = "min_interval_ms" in host_budget.columns
     if has_interval:
         if host_carry is not None:

@@ -47,6 +47,8 @@ class CrawlConfig:
     # focused-crawl depth cap (driver.CrawlConfig.max_depth twin):
     # links deeper than this are observed but never enqueued
     max_depth: int | None = None
+    # cumulative per-host page quota (driver max_pages_per_host twin)
+    max_pages_per_host: int | None = None
 
 
 @dataclass
@@ -64,6 +66,9 @@ class CrawlResult:
     # the engine's checkpointed ``host_sched`` snapshot; only delayed
     # hosts are tracked
     host_last_abs: dict[str, int] = field(default_factory=dict)
+    # host → pages dequeued across all rounds — the twin of the
+    # engine's checkpointed ``host_used`` quota snapshot
+    host_used: dict[str, int] = field(default_factory=dict)
 
 
 def latest_captures(pages_rows) -> dict[str, tuple]:
@@ -195,6 +200,8 @@ def crawl_rounds(
         for host, rows in by_host.items():
             rows.sort(key=lambda t: (-t[1], t[0]))
             b = budgets.get(host, DEFAULT_BUDGET)
+            if cfg.max_pages_per_host is not None:
+                b = min(b, max(0, cfg.max_pages_per_host - res.host_used.get(host, 0)))
             i = (intervals or {}).get(host) or 0
             carry = 0
             if i > 0:  # crawl-delay cap over the carry-shrunk window,
@@ -215,6 +222,7 @@ def crawl_rounds(
         new_links: list[tuple[str, float, int]] = []
         for seq, (url, _pr, sc, dep) in enumerate(dequeued, start=1):
             res.ordering.append((r, seq, url))
+            res.host_used[_host(url)] = res.host_used.get(_host(url), 0) + 1
             final = (redirects or {}).get(url, url)
             # seen BEFORE this fetch?  True only via an earlier round or
             # a lower-seq fetch landing on the same final this round —

@@ -239,3 +239,62 @@ def test_max_depth_cap_matches_oracle(spark, tmp_path):
             for x in free.read(spark, r, "ordering").collect()
         )
     assert free_ord != got, "cap vacuous at this fixture"
+
+
+def test_max_pages_per_host_quota_matches_oracle(spark, tmp_path):
+    """Cumulative per-host quota (max_pages_per_host=3 over 3 rounds):
+    engine == oracle ordering and seen; at least one host exhausts its
+    quota (exactly 3 fetches while the unbounded run gives it more);
+    kill/resume preserves the spend snapshot exactly."""
+    from collections import Counter
+
+    from storm_focused_crawler_spark import driver as drv
+    from storm_focused_crawler_spark.fixtures import gen_pages
+    from storm_focused_crawler_spark.oracle import seqcrawler as oc
+
+    paths = gen_pages.ensure("/root/testdata/sf0.001")
+    kw = tuple(gen_pages.topic_keywords())
+    cfg = drv.CrawlConfig(rounds=3, capacity=32, keywords=kw, max_pages_per_host=3)
+    store = drv.run_crawl(spark, paths, cfg, str(tmp_path / "q"))
+    pages_rows, seeds, robots, budgets = oc.load_fixture_inputs(paths)
+    res = oc.crawl(pages_rows, seeds, robots, budgets,
+                   oc.CrawlConfig(rounds=3, capacity=32, keywords=kw,
+                                  max_pages_per_host=3))
+    got = []
+    for r in range(3):
+        got += sorted(
+            (x["round"], x["seq"], x["url"])
+            for x in store.read(spark, r, "ordering").collect()
+        )
+    assert got == sorted(res.ordering)
+    seen = {x["url_hash"] for x in store.read_union(spark, 2, "seen").collect()}
+    assert seen == res.seen_hashes
+
+    def host_of(u):
+        return u.split("://", 1)[1].partition("/")[0]
+
+    capped_counts = Counter(host_of(u) for (_r, _s, u) in got)
+    assert max(capped_counts.values()) <= 3
+    free = drv.run_crawl(
+        spark, paths, drv.CrawlConfig(rounds=3, capacity=32, keywords=kw),
+        str(tmp_path / "f"),
+    )
+    free_counts = Counter(
+        host_of(x["url"])
+        for r in range(3)
+        for x in free.read(spark, r, "ordering").collect()
+    )
+    assert any(
+        capped_counts.get(h, 0) == 3 and c > 3 for h, c in free_counts.items()
+    ), "quota vacuous at this fixture"
+
+    # kill/resume: spend snapshot carries — resumed run == uninterrupted
+    wd = str(tmp_path / "resume")
+    drv.run_crawl(spark, paths,
+                  drv.CrawlConfig(rounds=2, capacity=32, keywords=kw,
+                                  max_pages_per_host=3), wd)
+    resumed = drv.run_crawl(spark, paths, cfg, wd, resume=True)
+    for r in range(3):
+        a = sorted(map(tuple, store.read(spark, r, "ordering").collect()))
+        b = sorted(map(tuple, resumed.read(spark, r, "ordering").collect()))
+        assert a == b, f"round {r} diverged across resume"
