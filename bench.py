@@ -48,6 +48,7 @@ HEADLINE = [
     "text_normalize_unicode",
     "topic_classify_nb",
     "text_index_postings",
+    "bpe_learn_merges",
     "rank_bm25",
     "quality_lm_perplexity",
     "graph_host_rank",

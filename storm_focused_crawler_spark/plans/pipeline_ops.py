@@ -1472,3 +1472,24 @@ def stateful_doc_dedup(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(feed, ignore_errors=True)
+
+
+# ======================= BPE merge learning (tokenizer training) ============
+
+
+BPE_N_MERGES = 8
+
+
+@op("bpe_learn_merges", None)  # exact python-twin pytest (tests/test_bpe.py)
+def bpe_learn_merges(spark, sf_dir):
+    """Tokenizer training (functions/bpe.py, Sennrich et al. 2016):
+    learn BPE_N_MERGES merges from the documents word histogram; one
+    corpus agg, then vocab-sized iterations.  Rows-only — the merge
+    sequence is locked to the exact python twin."""
+    from storm_focused_crawler_spark.functions import bpe as B
+
+    hist = B.word_histogram(_t(spark, sf_dir, "documents"))
+    merges = B.learn_merges(spark, hist, BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
