@@ -127,3 +127,32 @@ def learn_merges_py(word_counts: dict[str, int], n_merges: int) -> list[tuple]:
             (pat.sub(left + right, f" {sym} ").strip(), c) for sym, c in work
         ]
     return out
+
+
+def segment_expr(word_col, merges: list[tuple]):
+    """Column expression applying a learned merge list to one word —
+    symbolize, then the merges in rank order as chained lookaround
+    regexp_replace (pure JVM; merge lists are small, 10^4-10^5 at
+    production vocab sizes one would switch to a broadcast trie, noted
+    in SURVEY).  Returns the array of subword symbols."""
+    sym = F.concat(
+        F.lit(" "), F.regexp_replace(word_col, "(.)", "$1 "), F.lit(END), F.lit(" ")
+    )
+    for _rank, left, right, merged, _c in merges:
+        sym = F.regexp_replace(sym, f"(?<= ){left} {right}(?= )", merged)
+    return F.split(F.trim(sym), " ")
+
+
+def segment_docs(docs: DataFrame, merges: list[tuple],
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Encode each doc under the learned merges: per-doc subword token
+    count and character count — the sequence-length accounting an LLM
+    data pipeline does before packing.  One explode + chained per-row
+    regexp merges + one hash agg; python twin segment_word."""
+    toks = F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != "")
+    w = docs.select(F.col(id_col), F.explode(toks).alias("word"))
+    segd = w.select(id_col, F.size(segment_expr(F.col("word"), merges)).alias("n_sub"))
+    return segd.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
+    )

@@ -1493,3 +1493,15 @@ def bpe_learn_merges(spark, sf_dir):
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+@op("bpe_segment_docs", None)  # exact python-twin pytest (tests/test_bpe.py)
+def bpe_segment_docs(spark, sf_dir):
+    """Encode step of the tokenizer loop: per-doc word and subword
+    counts under the BPE_N_MERGES merges learned from the same corpus
+    (functions/bpe.segment_docs)."""
+    from storm_focused_crawler_spark.functions import bpe as B
+
+    d = _t(spark, sf_dir, "documents")
+    merges = B.learn_merges(spark, B.word_histogram(d), BPE_N_MERGES)
+    return B.segment_docs(d, merges)

@@ -41,3 +41,33 @@ def test_early_stop_when_no_pairs():
     # single-letter vocab: first merge glues letter+</w>, then nothing
     out = B.learn_merges_py({"a": 3}, 5)
     assert out == [(1, "a", "</w>", "a</w>", 3)]
+
+
+def test_segment_docs_matches_python_twin(spark, sf_dir):
+    """Per-doc subword counts under the learned merges == re-encoding
+    every word with segment_word; subwords strictly fewer than chars
+    (merges fired) and ≥ words (END markers)."""
+    import re
+
+    import pandas as pd
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = B.word_histogram(d)
+    merges = B.learn_merges(spark, hist, 8)
+    got = {r["doc_id"]: (r["n_words"], r["n_subwords"])
+           for r in B.segment_docs(d, merges).collect()}
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    cache: dict[str, int] = {}
+    for row in pdf.itertuples():
+        words = [w for w in re.split(r"[^a-z0-9]+", row.text.lower()) if w]
+        if not words:
+            continue
+        n_sub = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = len(B.segment_word(w, merges))
+            n_sub += cache[w]
+        assert got[int(row.doc_id)] == (len(words), n_sub), row.doc_id
+    for did, (nw, ns) in got.items():
+        assert ns >= nw  # at least one symbol per word
