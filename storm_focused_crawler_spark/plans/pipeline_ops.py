@@ -18,7 +18,14 @@ from storm_focused_crawler_spark.operators import dedup as D
 from storm_focused_crawler_spark.operators import multimodal as MM
 from storm_focused_crawler_spark.operators import robots as RB
 from storm_focused_crawler_spark.operators import similarity as S
-from storm_focused_crawler_spark.plans.queries import REGISTRY, URLS_CTE, _t, _urls, op
+from storm_focused_crawler_spark.plans.queries import (
+    REGISTRY,
+    URLS_CTE,
+    _spread,
+    _t,
+    _urls,
+    op,
+)
 
 # ======================= deduplication ======================================
 
@@ -68,7 +75,9 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     t = 0.3
-    d = _t(spark, sf_dir, "documents")
+    # parallelism floor: the single-split fixture scan would run the
+    # whole shingle pass in ONE task (guide §2.5); no-op at real scale
+    d = _spread(_t(spark, sf_dir, "documents"))
     sh = d.select("doc_id", D.shingles_col(F.col("text")).alias("shingles")).filter(
         F.size("shingles") >= 1
     )
@@ -179,17 +188,21 @@ def dedup_substring_exact(spark, sf_dir):
     """ExactSubstr spans (Lee et al. 2021) at window=20 tokens over the
     documents corpus — see operators/dedup.exact_substring_spans for
     the slim-hash candidate + text-verify scale design."""
-    return D.exact_substring_spans(_t(spark, sf_dir, "documents"), window=20)
+    return D.exact_substring_spans(_spread(_t(spark, sf_dir, "documents")), window=20)
 
 
 @op("dedup_minhash_lsh", None)  # xxhash64-based sig — pytest-locked, rows-only here
 def dedup_minhash_lsh(spark, sf_dir):
-    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.3)
+    return D.minhash_lsh_pairs(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", threshold=0.3
+    )
 
 
 @op("dedup_simhash", None)  # pytest-locked (hamming property), rows-only here
 def dedup_simhash(spark, sf_dir):
-    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=12)
+    return D.simhash_near_pairs(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", max_hamming=12
+    )
 
 
 @op(
@@ -208,7 +221,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     # fact (pytest locks pair-for-pair equality with the all-pairs plan
     # = the oracle above); production callers omit the geometry and get
     # the threshold-derived one — see operators/dedup.lsh_geometry
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _spread(_t(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     return D.embedding_near_pairs(
         e, threshold=0.4, dim=64,
         n_bands=D.EMB_BANDS, planes_per_band=D.EMB_PLANES_PER_BAND,
@@ -233,7 +246,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     SELECT query_id, neighbor_id, cos FROM rk WHERE r <= 5""",
 )
 def sim_knn_cosine(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.brute_force_knn(e, q, k=5)
 
@@ -242,21 +255,21 @@ def sim_knn_cosine(spark, sf_dir):
 def sim_knn_lsh(spark, sf_dir):
     # geometry derived from the (min_cos, target_recall) design point
     # via operators/dedup.lsh_geometry — not hand-tuned (VERDICT r03 #5)
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.lsh_knn(e, q, k=5, dim=64, min_cos=0.4, target_recall=0.9)
 
 
 @op("sim_knn_ivf", None)  # deterministic kmeans coarse quantizer — recall-locked
 def sim_knn_ivf(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.ivf_knn(e, q, k=5, n_centroids=16, nprobe=4)
 
 
 @op("sim_knn_lsh_recall", None)  # calibration: per-query recall vs brute force
 def sim_knn_lsh_recall(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.knn_recall(
         S.lsh_knn(e, q, k=5, dim=64, min_cos=0.4, target_recall=0.9),
@@ -266,7 +279,7 @@ def sim_knn_lsh_recall(spark, sf_dir):
 
 @op("sim_knn_ivf_recall", None)  # calibration: per-query recall vs brute force
 def sim_knn_ivf_recall(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.knn_recall(
         S.ivf_knn(e, q, k=5, n_centroids=16, nprobe=4), S.brute_force_knn(e, q, k=5)
@@ -302,7 +315,7 @@ engine-vs-oracle value equality, not label accuracy."""
 from storm_focused_crawler_spark.functions import topic_nb as TN
 
 REGISTRY["topic_classify_nb"] = (
-    lambda spark, sf_dir: TN.classify(_t(spark, sf_dir, "documents")),
+    lambda spark, sf_dir: TN.classify(_spread(_t(spark, sf_dir, "documents"))),
     TN.classify_sql("documents"),
 )
 """Trained multinomial-NB topic classifier (functions/topic_nb.py) —
@@ -377,7 +390,7 @@ def text_index_postings(spark, sf_dir):
 
     from storm_focused_crawler_spark.operators import text_index as TI
 
-    p = TI.postings(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    p = TI.postings(_spread(_t(spark, sf_dir, "documents")), "doc_id", "text")
     return p.select(
         "token",
         F.col("doc").alias("doc_id"),
@@ -442,12 +455,13 @@ def rank_bm25(spark, sf_dir):
     one per-doc agg, bounded top-k window."""
     from storm_focused_crawler_spark.operators import text_index as TI
 
-    d = _t(spark, sf_dir, "documents")
+    d0 = _t(spark, sf_dir, "documents")
+    d = _spread(d0)
     # ONE corpus tokenize pass: postings persist; dl and df both derive
     # from the persisted aggregate, never from the text again
     post = TI.postings(d, "doc_id", "text").persist()
     dl = TI.doc_lengths(post)
-    n_docs = d.count()
+    n_docs = d0.count()  # scalar row count: skip the rebalance exchange
     tot = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
     avgdl = tot["s"] / tot["c"]
     out = TI.search_bm25(spark, post, TI.token_df(post), dl, n_docs, avgdl,
@@ -669,7 +683,7 @@ def decontam_ngram(spark, sf_dir):
     per-row gram array (a doc's grams live in its own input row), so no
     global distinct shuffle exists; the only corpus shuffle is the
     final per-doc count over contamination-sized hits."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return CU.decontam_hits(
         corpus=d.filter(F.col("doc_id") % 29 != 0),
         bench=d.filter(F.col("doc_id") % 29 == 0),
@@ -1381,7 +1395,7 @@ def dedup_minhash_incremental(spark, sf_dir):
 
     from storm_focused_crawler_spark.sources.storage import ParquetSnapshotStore
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     corpus = d.filter(F.col("doc_id") % 4 != 0)
     batch = d.filter(F.col("doc_id") % 4 == 0)
     store = ParquetSnapshotStore(tempfile.mkdtemp(prefix="sfc_minc_"))
@@ -1488,7 +1502,7 @@ def bpe_learn_merges(spark, sf_dir):
     sequence is locked to the exact python twin."""
     from storm_focused_crawler_spark.functions import bpe as B
 
-    hist = B.word_histogram(_t(spark, sf_dir, "documents"))
+    hist = B.word_histogram(_spread(_t(spark, sf_dir, "documents")))
     merges = B.learn_merges(spark, hist, BPE_N_MERGES)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
@@ -1502,6 +1516,6 @@ def bpe_segment_docs(spark, sf_dir):
     (functions/bpe.segment_docs)."""
     from storm_focused_crawler_spark.functions import bpe as B
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     merges = B.learn_merges(spark, B.word_histogram(d), BPE_N_MERGES)
     return B.segment_docs(d, merges)
