@@ -483,12 +483,18 @@ def cluster_keepers(
     pointer-jump step (lab(u) := lab(lab(u)), classic parallel-CC path
     doubling) halves chain depth, so convergence is O(log diameter)
     rounds, not O(diameter): a 10^6-long chain resolves in ~20 rounds.
-    Per round: two equi-joins + one hash aggregate, state persisted and
-    lineage truncated per step (same discipline as graph.pagerank),
-    fixpoint detected by a changed-row count.  All label math is int64
-    MIN — order- and partitioning-independent, so the result is exact
-    and partition-invariant (tested), and DuckDB can reproduce it with
-    a recursive CTE (the registered oracle).
+    Per round: two equi-joins + one hash aggregate, state materialized
+    and lineage truncated per step (same discipline as graph.pagerank),
+    fixpoint detected by the LABEL-SUM invariant — labels are int64 ids
+    that can only DECREASE under the min fold over a fixed node set, so
+    sum(lab) (in decimal(38,0): no overflow at any node count) is
+    strictly decreasing until the fixpoint and equal exactly there.
+    That lets ONE job per iteration both materialize the new state
+    (lazy localCheckpoint) and compute the fixpoint probe, instead of
+    the r5 shape's two (eager checkpoint + a join-based changed-count).
+    All label math is int64 MIN — order- and partitioning-independent,
+    so the result is exact and partition-invariant (tested), and DuckDB
+    can reproduce it with a recursive CTE (the registered oracle).
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = (
@@ -509,6 +515,7 @@ def cluster_keepers(
         edges.select("u").distinct().select("u", F.col("u").alias("lab"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = object()  # sentinel: never equal to a sum value
     for _ in range(max_iters):
         nb = edges.join(lab.select(F.col("u").alias("v"), "lab"), "v").select("u", "lab")
         jump = lab.join(
@@ -519,17 +526,16 @@ def cluster_keepers(
             .unionByName(jump)
             .groupBy("u")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the sum action below materializes it —
+            # one job per iteration instead of eager-checkpoint + count
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.join(lab.select("u", F.col("lab").alias("old")), "u")
-            .filter(F.col("lab") != F.col("old"))
-            .count()
-        )
+        s = new.agg(F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
         lab.unpersist()
         lab = new
-        if changed == 0:
+        if s == prev_sum:
             break
+        prev_sum = s
     edges.unpersist()
     # lab stays persisted behind the returned frame; callers running one
     # resolution per job let it age out, long-lived drivers unpersist

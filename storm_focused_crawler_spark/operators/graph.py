@@ -53,59 +53,66 @@ def pagerank(edges: DataFrame, iters: int = 10) -> DataFrame:
         return edges.sparkSession.createDataFrame(
             [], "node string, rank_i long, rank double"
         )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg")).persist()
-    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_i")).persist()
-    ranks.count()
+    # pre-join out-degrees into the edge list ONCE — deg is static, so
+    # doing it per iteration paid an extra join every step (guide §2.4)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    edges_deg = (
+        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=False)  # materialized by the first consumer
+    )
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_i"))
 
     base = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)  # teleport term
     # dangling nodes (no out-edges) spread their mass uniformly; the
     # membership is fixed, so detect ONCE and pay the per-iteration
-    # mass scalar only when the set is non-empty
+    # mass term only when the set is non-empty
     dangling = nodes.join(deg, "node", "left_anti").persist()
     has_dangling = dangling.count() > 0
     for _ in range(iters):
-        dang = 0
-        if has_dangling:
-            dang = (
-                dangling.join(ranks, "node")
-                .agg(F.coalesce(F.sum("rank_i"), F.lit(0)).cast("long").alias("d"))
-                .collect()[0]["d"]
-            )
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_i DIV deg").cast("long").alias("c"),
-            )
+        contrib = edges_deg.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"),
+            F.expr("rank_i DIV deg").cast("long").alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("s"))
-        new_ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({DAMP_NUM} * (coalesce(s, 0L) + {int(dang) // n}L)) DIV {DAMP_DEN}"
-                    )
-                ).cast("long").alias("rank_i"),
+        upd = nodes.join(summed, "node", "left")
+        if has_dangling:
+            # the dangling-mass SCALAR is folded in as a broadcast
+            # 1-row aggregate instead of a per-iteration collect():
+            # the whole loop now runs without any driver action —
+            # r5 paid (collect + count) = 2 jobs per iteration.
+            # `_dang DIV n` over non-negative ints == the python
+            # int(dang) // n it replaces (twin-locked, test_graph).
+            dang_df = dangling.join(ranks, "node").agg(
+                F.coalesce(F.sum("rank_i"), F.lit(0)).cast("long").alias("_dang")
             )
-            .persist()
+            upd = upd.crossJoin(F.broadcast(dang_df))
+            dang_term = f"(_dang DIV {n})"
+        else:
+            dang_term = "0L"
+        new_ranks = upd.select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({DAMP_NUM} * (coalesce(s, 0L) + {dang_term})) DIV {DAMP_DEN}"
+                )
+            ).cast("long").alias("rank_i"),
         )
-        new_ranks.count()  # materialize → lineage cut at the cache
-        ranks.unpersist()
-        ranks = new_ranks
+        # LAZY checkpoint: truncates the logical plan immediately (no
+        # per-iteration job); the RDD materializes when the caller's
+        # action — or the next iteration's broadcast — first computes
+        # it, and stays persisted for every later reference.
+        ranks = new_ranks.localCheckpoint(eager=False)
 
     out = ranks.select(
         "node", "rank_i", F.round(F.col("rank_i") / F.lit(float(SCALE)), 9).alias("rank")
     )
     nodes.unpersist()
-    deg.unpersist()
     dangling.unpersist()
-    # the final iteration's state stays cached (out reads through it);
-    # long-lived callers (one pagerank per crawl round) unpersist via
-    # this handle once done with the result
+    # the final iteration's state stays materialized behind the
+    # returned frame; long-lived callers (one pagerank per crawl
+    # round) release via this handle once done with the result
     out._sfc_cached = ranks
     return out
 

@@ -78,21 +78,48 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # parallelism floor: the single-split fixture scan would run the
     # whole shingle pass in ONE task (guide §2.5); no-op at real scale
     d = _spread(_t(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", D.shingles_col(F.col("text")).alias("shingles")).filter(
-        F.size("shingles") >= 1
+    # pre-filter on the CHEAP token count (shingles non-empty ⟺ ≥ 3
+    # tokens) instead of size(shingles) >= 1: a filter on the derived
+    # column gets pushed below the exchange and re-evaluates the whole
+    # shingle HOF three times per row (measured 3.1s -> 0.4s for the
+    # exploded stream); same rows kept by construction
+    n_toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    # materialize the shingle table ONCE: it feeds FOUR consumers (the
+    # exploded stream's two exchange branches + both verify sides), and
+    # each consuming exchange would otherwise recompute the shingle HOF
+    # from the scan (measured ~2x of the whole query).  At scale this
+    # is PPJoin's standard "materialize the signature table" step —
+    # executor-local storage of (id, shingles), corpus-shaped but built
+    # exactly once per run.
+    sh = (
+        d.filter(n_toks >= 3)
+        .select("doc_id", D.shingles_col(F.col("text")).alias("shingles"))
+        .localCheckpoint()
     )
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
     )
     dfreq = ex.groupBy("s").agg(F.count("*").alias("dfreq"))
     w = Window.partitionBy("doc_id").orderBy(F.col("dfreq").asc(), F.col("s").asc())
+    # keep r (position in the global rare-first order) for the PPJoin
+    # positional filter below
     prefix = (
         ex.join(dfreq, "s")
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
-        .select("doc_id", "s", "n")
+        .select("doc_id", "s", "n", "r")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (Xiao et al. 2008, public literature):
+    # a shared element at rank (ra, rb) of the two ordered sets bounds
+    # the overlap by 1 + min(na - ra, nb - rb); a pair with
+    # jaccard >= t needs overlap >= ceil(t/(1+t)·(na+nb)).  For a true
+    # pair, its FIRST shared element (which the prefix theorem proves
+    # lies in both prefixes) always passes the bound, so this only
+    # prunes provably-impossible candidates — measured 596k -> 325k
+    # candidate pairs, output byte-identical (still exact-verified).
+    alpha = F.ceil(F.lit(t) / (1.0 + t) * (F.col("a.n") + F.col("b.n")))
+    pos_ok = (1 + F.least(F.col("a.n") - F.col("a.r"), F.col("b.n") - F.col("b.r"))) >= alpha
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         # length filter: |A| >= t*|B| is necessary for jaccard >= t
@@ -100,6 +127,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
             (F.col("a.n") >= F.ceil(t * F.col("b.n")))
             & (F.col("b.n") >= F.ceil(t * F.col("a.n")))
         )
+        .filter(pos_ok)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )

@@ -60,16 +60,33 @@ class ParquetSnapshotStore:
         tmp = os.path.join(rdir, "_tmp")
         counts: dict[str, int] = {}
         write_sec: dict[str, float] = {}
-        for name, df in tables.items():
+
+        # The per-table writes are INDEPENDENT Spark jobs sharing
+        # persisted upstream state (run_round persists deq/ex/links),
+        # and each one is far too small to fill the executor on its
+        # own — running them from a small thread pool lets the next
+        # job's tasks back-fill the current job's straggler tail
+        # (optimization guide §2.6 "overlap independent jobs").  Cached
+        # partitions are computed under block-level locks, so shared
+        # inputs are still computed exactly once; commit order below is
+        # unchanged (rename + manifest happen after ALL writes finish).
+        # write_sec stays the drift-attribution signal but is now a
+        # CONCURRENT wall per table (overlaps may double-bill a shared
+        # input's first computation).
+        def _write_one(item):
+            name, df = item
             path = os.path.join(tmp, name)
             t0 = time.time()
             df.write.mode("overwrite").parquet(path)
-            # per-table write wall: the write triggers that branch of the
-            # round DAG, so this attributes round cost to stages (shared
-            # persisted inputs bill to their first consumer) — the
-            # drift-attribution data BENCH_r04+ reports per crawl
-            write_sec[name] = round(time.time() - t0, 3)
-            counts[name] = _parquet_rows(path)
+            return name, round(time.time() - t0, 3), _parquet_rows(path)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_workers = min(3, max(1, len(tables)))
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for name, sec, rows in pool.map(_write_one, list(tables.items())):
+                write_sec[name] = sec
+                counts[name] = rows
         for name in tables:
             os.rename(os.path.join(tmp, name), os.path.join(rdir, name))
         os.rmdir(tmp)
