@@ -53,6 +53,30 @@ def shingles_col(text, n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, sh): the materialized shingle-set table — computed ONCE
+    per run (localCheckpoint) because every MinHash path references it
+    from several exchange branches (signature explode + both verify
+    join sides), and each branch would otherwise recompute the shingle
+    HOF from the scan."""
+    return df.select(
+        F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("sh")
+    ).localCheckpoint(eager=False)  # materialized by the first consumer
+
+
+def _signature_from_shingles(sh_tab: DataFrame) -> DataFrame:
+    """(_id, sh) → (_id, sig array<long>[MINHASH_PERMS])."""
+    sh = sh_tab.select("_id", F.explode("sh").alias("shingle")).withColumn(
+        "h32", F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
+    )
+    aggs = []
+    for j in range(MINHASH_PERMS):
+        a, b = _perm_consts(j)
+        aggs.append(F.min(F.pmod(F.lit(a) * F.col("h32") + F.lit(b), F.lit(_P))).alias(f"m{j}"))
+    sig = sh.groupBy("_id").agg(*aggs)
+    return sig.select("_id", F.array(*[f"m{j}" for j in range(MINHASH_PERMS)]).alias("sig"))
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """df → (id, sig array<long>[MINHASH_PERMS]) via shuffle-light agg."""
     sh = df.select(
@@ -117,10 +141,15 @@ def incremental_minhash_pairs(
     (band, bh) equi-join with the batch bands broadcast — batch ≪
     corpus IS the incremental contract (a batch too big to broadcast
     its (id, band, bh) rows should run the full minhash_lsh_pairs
-    path); exact verification re-reads corpus text ONLY for candidate
-    ids (an id equi-join the scan can prune on).  Within-batch pairs
-    reuse the batch path on the new docs alone."""
-    new_sig = minhash_signature(new_docs, id_col, text_col)
+    path); exact verification shingles corpus text ONLY for candidate
+    ids (the candidate-id set is materialized dup-sized and broadcast
+    semi-joined into the corpus scan BEFORE any shingling, so the
+    non-candidate corpus never pays the shingle pass — r5 shingled the
+    whole corpus once per verify side).  Within-batch pairs reuse the
+    batch path on the new docs alone, sharing the batch shingle
+    table."""
+    new_sh = _shingle_table(new_docs, id_col, text_col)  # batch-sized
+    new_sig = _signature_from_shingles(new_sh)
     cand = (
         minhash_band_buckets(corpus_sigs).alias("o")
         .join(
@@ -133,54 +162,38 @@ def incremental_minhash_pairs(
         )
         .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
+        # dup-sized; materialized because both the candidate-id
+        # derivation and the verify join read it
+        .localCheckpoint(eager=False)
     )
-    old_sh = corpus_docs.select(
-        F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("sh")
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
     )
-    new_sh = new_docs.select(
-        F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("sh")
-    )
-    sh = old_sh.unionByName(new_sh)
-    v = (
-        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
-                6,
-            ),
+    old_cand_sh = (
+        corpus_docs.join(
+            F.broadcast(cand_ids), corpus_docs[id_col] == cand_ids["_id"], "left_semi"
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("sh"))
+        .localCheckpoint(eager=False)
     )
+    sh = old_cand_sh.unionByName(new_sh)
+    v = _verify_pairs(cand, sh, threshold)
     within = minhash_lsh_pairs(new_docs, id_col, text_col, threshold)
     return v.unionByName(within).distinct()
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      threshold: float = 0.5) -> DataFrame:
-    """Candidate pairs by banded LSH, verified by exact shingle jaccard.
-
-    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
-    """
-    sig = minhash_signature(df, id_col, text_col)
-    bands = minhash_band_buckets(sig)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
-    # exact verification: jaccard over true shingle sets
-    sh = df.select(F.col(id_col).alias("_id"), shingles_col(F.col(text_col)).alias("sh"))
+def _verify_pairs(cand: DataFrame, sh_tab: DataFrame, threshold: float) -> DataFrame:
+    """Exact-jaccard verification of candidate (id_a, id_b) pairs
+    against a (_id, sh) shingle table."""
     v = (
-        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cand.join(
+            sh_tab.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+        )
+        .join(
+            sh_tab.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"
+        )
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -192,6 +205,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         )
     )
     return v.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs by banded LSH, verified by exact shingle jaccard.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    The shingle table is materialized once (_shingle_table) and feeds
+    both the signature aggregation and the two exact-verify join sides.
+    """
+    sh_tab = _shingle_table(df, id_col, text_col)
+    sig = _signature_from_shingles(sh_tab)
+    bands = minhash_band_buckets(sig)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_pairs(cand, sh_tab, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -256,14 +291,18 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by 16-bit-band LSH on simhash, hamming-verified.
 
-    The repartition after the signature select is load-bearing: without
-    an exchange boundary, whole-stage codegen INLINES the 64-bit fold
-    into every downstream reference (4 band structs × 2 self-join
-    sides ≈ 8 recomputations — measured 2.4× slower at sf0.1).  The
-    boundary materializes (_id, sh) once — a slim 24-byte-per-doc
-    shuffle — and the identical subplans on both join sides reuse it."""
+    The localCheckpoint after the signature select is load-bearing:
+    without a materialization boundary, whole-stage codegen INLINES the
+    64-bit fold into every downstream reference (4 band structs × 2
+    self-join sides ≈ 8 recomputations — measured 2.4× slower at
+    sf0.1), and the r5 repartition boundary still recomputed the fold
+    once per consuming exchange branch (exchange reuse shares the
+    SHUFFLE, not the projection above it — measured another 3.5× at
+    sf0.1).  The checkpoint materializes the slim 24-byte-per-doc
+    (_id, sh) table exactly once; both self-join sides and the verify
+    read it back."""
     s = df.select(F.col(id_col).alias("_id"), simhash_col(F.col(text_col)).alias("sh"))
-    s = s.repartition("_id")
+    s = s.localCheckpoint(eager=False)  # materialized by the first consumer
     band_exprs = []
     for b in range(4):  # python-literal shift amounts
         src = F.col("sh.hi") if b < 2 else F.col("sh.lo")

@@ -94,7 +94,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sh = (
         d.filter(n_toks >= 3)
         .select("doc_id", D.shingles_col(F.col("text")).alias("shingles"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the first consumer
     )
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
