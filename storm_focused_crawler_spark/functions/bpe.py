@@ -67,8 +67,12 @@ def learn_merges(spark: SparkSession, hist: DataFrame, n_merges: int) -> list[tu
     """Learn *n_merges* BPE merges from a (word, cnt) histogram.
 
     Returns [(rank, left, right, merged, pair_count)], rank 1-based.
-    Stops early when no adjacent pair remains."""
-    work = _symbolize(hist).localCheckpoint()
+    Stops early when no adjacent pair remains.
+
+    Checkpoints are LAZY: each iteration's argmax collect is the one
+    job that materializes the (plan-truncated) vocab frame, instead of
+    the r5 shape's eager-checkpoint + collect = 2 jobs per merge."""
+    work = _symbolize(hist).localCheckpoint(eager=False)
     out: list[tuple] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -87,7 +91,7 @@ def learn_merges(spark: SparkSession, hist: DataFrame, n_merges: int) -> list[tu
                 F.concat(F.lit(" "), "sym", F.lit(" ")), pat, left + right
             ).alias("sym"),
             "cnt",
-        ).select(F.trim("sym").alias("sym"), "cnt").localCheckpoint()
+        ).select(F.trim("sym").alias("sym"), "cnt").localCheckpoint(eager=False)
     return out
 
 

@@ -104,6 +104,30 @@ def close_mapping(mapping, max_hops: int = 16):
     )
 
 
+def rebalance_small_scan(df):
+    """Scale-adaptive parallelism floor (optimization guide §2.5, input
+    skew: "one huge unsplittable file ... repartition immediately after
+    the read").
+
+    When (and only when) *df*'s scan has fewer partitions than the
+    session's default parallelism — the single-split fixture-file case,
+    where every downstream per-row-expensive stage would run as ONE
+    task on a 32-core executor — round-robin rebalance it to the core
+    count.  At production scale a 100 TB table always has >= cores
+    splits, the condition is false, and NO exchange enters the plan,
+    so zero-shuffle design properties hold at the scale where they
+    matter.  Round-robin is deterministic under Spark's default
+    sort-before-repartition, and every consumer in this repo is
+    partition-invariant by the determinism discipline, so results are
+    unchanged.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def url_hash_col(url: Column) -> Column:
     """§2.1-2: 64-bit xxhash64(canon_url), seed 42 (Spark default)."""
     return F.xxhash64(url)

@@ -40,9 +40,16 @@ def repetition_metrics(
     one input row, so partial aggregation collapses duplicates before
     the shuffle); gram rows carry (id, n, gram) only, never the text.
     """
-    toks = d.select(
-        F.col(id_col), F.length(text_col).alias("nc"),
-        F.split(text_col, " ").alias("w"),
+    from storm_focused_crawler_spark.functions.udfs import rebalance_small_scan
+
+    # parallelism floor on the TOKENIZED projection (not the raw text
+    # column): a single-split fixture scan would run the whole gram
+    # explode in one task; no-op at real scale (guide §2.5)
+    toks = rebalance_small_scan(
+        d.select(
+            F.col(id_col), F.length(text_col).alias("nc"),
+            F.split(text_col, " ").alias("w"),
+        )
     )
     grams = toks.select(
         id_col,
@@ -154,7 +161,9 @@ def lm_bigram_counts(
     the reference slice is Wikipedia-sized by construction (the model
     is deliberately trained on a small clean corpus), so both tables
     are dim-like relative to the crawl being scored."""
-    toks = ref.select(tokens_col(F.col(text_col)).alias("w"))
+    from storm_focused_crawler_spark.functions.udfs import rebalance_small_scan
+
+    toks = rebalance_small_scan(ref.select(tokens_col(F.col(text_col)).alias("w")))
     uni = (
         toks.select(F.explode("w").alias("w"))
         .groupBy("w")
@@ -208,8 +217,12 @@ def lm_perplexity(
     """
     from pyspark.sql import Window as W
 
+    from storm_focused_crawler_spark.functions.udfs import rebalance_small_scan
+
     pairs = (
-        docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("w"))
+        rebalance_small_scan(
+            docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("w"))
+        )
         .filter(F.size("w") >= 2)
         .select(
             id_col,

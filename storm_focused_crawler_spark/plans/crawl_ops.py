@@ -11,6 +11,8 @@ All outputs here are still fully deterministic DataFrames.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from storm_focused_crawler_spark.fixtures import gen_pages
@@ -112,23 +114,26 @@ def cuckoo_build_merge(spark, sf_dir):
         CK.build_shards(half_a, n_shards=4, n_buckets=n_buckets),
         CK.build_shards(half_b, n_shards=4, n_buckets=n_buckets),
     )
-    # stored-entry count = non-zero uint16 slots (2 bytes each, big- vs
-    # little-endian irrelevant for the zero test) + stash entries (8B each)
-    nonzero_slots = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), (F.octet_length("table") / 2 - 1).cast("int")),
-            lambda i: (
-                F.conv(F.substring(F.hex(F.col("table")), (i * 4 + 1).cast("int"), 4), 16, 10)
-                != "0"
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    # stored-entry count = non-zero uint16 slots (2 bytes each; the
+    # zero test is endianness-independent) + stash entries (8B each).
+    # Counted with ONE numpy pass per blob (Arrow-batched pandas UDF):
+    # the r5 JVM fold re-hexed the whole 2 KiB table once per slot
+    # (an O(slots²)-byte expression, ~70% of this op's wall) and
+    # CollapseProject re-inlines any hoisted hex() back into the
+    # per-slot lambda, so the expression route cannot be saved by a
+    # projection — values locked identical by the swap-in test run.
+    @F.pandas_udf("long")
+    def _nonzero_slots(tbl: pd.Series) -> pd.Series:
+        return tbl.map(
+            lambda b: int(np.count_nonzero(np.frombuffer(b, dtype=np.uint16)))
+        )
+
     return merged.select(
         "shard",
         "n",
-        (nonzero_slots + F.octet_length("stash") / 8).cast("long").alias("n_entries"),
+        (_nonzero_slots(F.col("table")) + F.octet_length("stash") / 8)
+        .cast("long")
+        .alias("n_entries"),
     ).orderBy("shard")
 
 

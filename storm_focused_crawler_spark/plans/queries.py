@@ -60,29 +60,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Scale-adaptive parallelism floor (optimization guide §2.5, input
-    skew: "one huge unsplittable file ... repartition immediately after
-    the read").
+    """Scale-adaptive parallelism floor for single-split fixture scans
+    — measured 4-8x of several dedup queries' wall time (see
+    functions/udfs.rebalance_small_scan, the canonical implementation
+    shared with the operators)."""
+    from storm_focused_crawler_spark.functions.udfs import rebalance_small_scan
 
-    The fixture tables arrive as ONE parquet split, so every downstream
-    per-row-expensive map stage (shingling, hashing, n-gram explode,
-    UDF batches) would otherwise run as a SINGLE task on a 32-core
-    executor — measured 4-8x of several dedup queries' wall time.  When
-    (and only when) the scan has fewer splits than the session's
-    default parallelism, round-robin rebalance it to the core count; at
-    production scale a 100 TB table always has >= cores splits, the
-    condition is false, and NO exchange enters the plan — so the
-    "corpus text never crosses a shuffle" design properties still hold
-    at the scale where they matter.  The rebalance key is round-robin
-    (deterministic under Spark's sort-before-repartition default), and
-    every consumer below is partition-invariant by the repo's own
-    determinism discipline, so results are unchanged.
-    """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return rebalance_small_scan(df)
 
 
 def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
