@@ -283,21 +283,33 @@ def sim_knn_cosine(spark, sf_dir):
 def sim_knn_lsh(spark, sf_dir):
     # geometry derived from the (min_cos, target_recall) design point
     # via operators/dedup.lsh_geometry — not hand-tuned (VERDICT r03 #5)
-    e = _spread(_t(spark, sf_dir, "embeddings"))
+    # NOT spread: measured 1.5-3.4x SLOWER with the rebalance exchange —
+    # these ops are many small jobs (kmeans collects / broadcast-bucket
+    # probes) where the extra exchange costs more than single-task
+    # compute saves (guide §1: measure, don't assume)
+    e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.lsh_knn(e, q, k=5, dim=64, min_cos=0.4, target_recall=0.9)
 
 
 @op("sim_knn_ivf", None)  # deterministic kmeans coarse quantizer — recall-locked
 def sim_knn_ivf(spark, sf_dir):
-    e = _spread(_t(spark, sf_dir, "embeddings"))
+    # NOT spread: measured 1.5-3.4x SLOWER with the rebalance exchange —
+    # these ops are many small jobs (kmeans collects / broadcast-bucket
+    # probes) where the extra exchange costs more than single-task
+    # compute saves (guide §1: measure, don't assume)
+    e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.ivf_knn(e, q, k=5, n_centroids=16, nprobe=4)
 
 
 @op("sim_knn_lsh_recall", None)  # calibration: per-query recall vs brute force
 def sim_knn_lsh_recall(spark, sf_dir):
-    e = _spread(_t(spark, sf_dir, "embeddings"))
+    # NOT spread: measured 1.5-3.4x SLOWER with the rebalance exchange —
+    # these ops are many small jobs (kmeans collects / broadcast-bucket
+    # probes) where the extra exchange costs more than single-task
+    # compute saves (guide §1: measure, don't assume)
+    e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.knn_recall(
         S.lsh_knn(e, q, k=5, dim=64, min_cos=0.4, target_recall=0.9),
@@ -307,7 +319,11 @@ def sim_knn_lsh_recall(spark, sf_dir):
 
 @op("sim_knn_ivf_recall", None)  # calibration: per-query recall vs brute force
 def sim_knn_ivf_recall(spark, sf_dir):
-    e = _spread(_t(spark, sf_dir, "embeddings"))
+    # NOT spread: measured 1.5-3.4x SLOWER with the rebalance exchange —
+    # these ops are many small jobs (kmeans collects / broadcast-bucket
+    # probes) where the extra exchange costs more than single-task
+    # compute saves (guide §1: measure, don't assume)
+    e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.knn_recall(
         S.ivf_knn(e, q, k=5, n_centroids=16, nprobe=4), S.brute_force_knn(e, q, k=5)
@@ -343,7 +359,9 @@ engine-vs-oracle value equality, not label accuracy."""
 from storm_focused_crawler_spark.functions import topic_nb as TN
 
 REGISTRY["topic_classify_nb"] = (
-    lambda spark, sf_dir: TN.classify(_spread(_t(spark, sf_dir, "documents"))),
+    # not _spread: measured slower with the rebalance exchange (one
+    # broadcast join + agg; exchange cost > single-task compute here)
+    lambda spark, sf_dir: TN.classify(_t(spark, sf_dir, "documents")),
     TN.classify_sql("documents"),
 )
 """Trained multinomial-NB topic classifier (functions/topic_nb.py) —
