@@ -436,7 +436,9 @@ def text_index_postings(spark, sf_dir):
 
     from storm_focused_crawler_spark.operators import text_index as TI
 
-    p = TI.postings(_spread(_t(spark, sf_dir, "documents")), "doc_id", "text")
+    # not _spread: measured slower with the rebalance exchange (one
+    # explode + hash agg; the agg exchange already parallelizes it)
+    p = TI.postings(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return p.select(
         "token",
         F.col("doc").alias("doc_id"),
