@@ -24,8 +24,10 @@ a documents table, built entirely from this repo's registry operators:
     run's survivor signatures for the NEXT batch)
   → benchmark decontamination (optional --benchmark parquet, GPT-3
     App. C word-8-gram rule via operators/curation.decontam_hits)
-  → ExactSubstr scrub (optional --substr-scrub, Lee et al. 2021:
-    corpus-duplicated 20-token spans removed from surviving text)
+  → ExactSubstr scrub (optional --substr-scrub, after Lee et al. 2021;
+    NOTE: ALL occurrences of a corpus-duplicated 20-token span are
+    removed — stricter than the paper's keep-one-copy removal, see
+    operators/dedup.exact_substring_scrub)
   → PII scrub (emails/IPv4/phones redacted in the surviving text)
   → inverted-index build (operators/text_index postings + token_df)
 

@@ -765,6 +765,10 @@ def run_crawl(
         if compact_now and has_interval:
             # host_sched is likewise a full snapshot; keep only the latest
             store.prune_table("host_sched", rnd)
+        if compact_now and cfg.max_pages_per_host is not None:
+            # host_used accumulates whenever the quota knob is on —
+            # gating its pruning on has_interval left the per-round
+            # full snapshots unpruned for delay-free crawls (ADVICE r05)
             store.prune_table("host_used", rnd)
         # cut lineage: next round reads the committed snapshot
         frontier = store.read(spark, rnd, "frontier")

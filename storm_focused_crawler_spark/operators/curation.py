@@ -283,10 +283,11 @@ def url_blocklist_filter(
 
     spark = SparkSession.getActiveSession()
     bl = spark.createDataFrame([(h,) for h in blocked_hosts], f"{host_col} string")
-    score = None
+    # start from 0.0 so an empty banned_terms list degrades to
+    # host-blocklist-only gating instead of a None column (ADVICE r05)
+    score = F.lit(0.0)
     for term, w in banned_terms:
-        c = F.when(F.col(url_col).contains(term), F.lit(w)).otherwise(F.lit(0.0))
-        score = c if score is None else score + c
+        score = score + F.when(F.col(url_col).contains(term), F.lit(w)).otherwise(F.lit(0.0))
     marked = urls.join(
         F.broadcast(bl.withColumn("_blk", F.lit(True))), host_col, "left"
     )

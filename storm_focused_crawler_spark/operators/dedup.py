@@ -665,11 +665,15 @@ def exact_substring_scrub(
     text_col: str = "text",
 ) -> DataFrame:
     """Remove the duplicated spans found by exact_substring_spans from
-    each doc's text (the removal step of Lee et al. 2021 — the paper
-    deletes one copy of every duplicated substring; this deletes the
-    flagged spans, keeping the first-seen copy intact because spans
-    only cover windows whose text occurs >= 2 times and the merge is
-    per-doc).  Docs with no flagged span pass through unchanged.
+    each doc's text.  NOTE (ADVICE r05 #2): exact_substring_spans flags
+    EVERY occurrence of a >=2x window, so this scrub removes ALL copies
+    of duplicated content — including the first — which is stricter
+    than Lee et al. 2021's keep-one-copy removal.  Content whose every
+    occurrence lies inside flagged spans disappears from the corpus
+    entirely; callers wanting keep-one semantics must exclude one
+    occurrence per window text (min by (doc_id, start_tok)) from the
+    spans before scrubbing.  Docs with no flagged span pass through
+    unchanged.
 
     100 TB shape: spans collect to ONE array per flagged doc (dup-sized
     hash agg), join back by id (no text through that shuffle — the doc

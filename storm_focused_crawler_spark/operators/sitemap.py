@@ -17,8 +17,11 @@ from pyspark.sql import functions as F
 def parse_sitemap_xml(df: DataFrame, host_col: str = "host",
                       body_col: str = "body") -> DataFrame:
     """(host, loc, lastmod, priority) from <urlset> bodies."""
+    # (?s): real-world sitemaps are pretty-printed, so a <url> block
+    # spans lines — without DOTALL every multi-line body parsed to zero
+    # rows (ADVICE r05 #1; twin fix in oracle/seqcrawler.load_sitemaps)
     blocks = F.regexp_extract_all(
-        F.col(body_col), F.lit(r"<url>(.*?)</url>"), F.lit(1)
+        F.col(body_col), F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1)
     )
     b = df.select(F.col(host_col), F.explode(blocks).alias("u"))
     loc = F.regexp_extract("u", r"<loc>([^<]*)</loc>", 1)

@@ -441,7 +441,9 @@ def load_sitemaps(fix_paths: dict[str, str]) -> dict[str, float]:
     for su, body in zip(urls, sm.column("body").to_pylist()):
         if declared is not None and su not in declared:
             continue
-        for block in _re.findall(r"<url>(.*?)</url>", body):
+        # (?s): multi-line (pretty-printed) sitemap bodies — twin of
+        # operators/sitemap.parse_sitemap_xml (ADVICE r05 #1)
+        for block in _re.findall(r"(?s)<url>(.*?)</url>", body):
             m = _re.search(r"<loc>([^<]*)</loc>", block)
             if not m or not m.group(1):
                 continue

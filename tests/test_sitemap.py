@@ -340,3 +340,49 @@ def test_robots_declared_sitemap_chain_matches_oracle(spark, tmp_path):
     # assert only that round-0 did not SCHEDULE it with sitemap priority
     r0 = [u for (r, _s, u) in got if r == 0]
     assert spec.canon(dec_loc) in r0
+
+
+def test_sitemap_multiline_body_parses(spark):
+    """Pretty-printed (multi-line) <urlset> bodies — the normal
+    real-world form — must parse; the r5 regex lacked DOTALL and
+    yielded zero rows for them (ADVICE r05 #1).  Engine == python twin
+    on the identical body."""
+    import re as _re
+
+    from storm_focused_crawler_spark.operators.sitemap import parse_sitemap_xml
+
+    body = (
+        "<?xml version=\"1.0\"?>\n<urlset>\n"
+        "  <url>\n    <loc>https://m.example/a</loc>\n"
+        "    <lastmod>2024-03-01</lastmod>\n    <priority>0.9</priority>\n  </url>\n"
+        "  <url>\n    <loc>https://m.example/b</loc>\n  </url>\n"
+        "</urlset>\n"
+    )
+    df = spark.createDataFrame([("m.example", body)], "host string, body string")
+    got = sorted(
+        (r["host"], r["loc"], r["lastmod"], r["priority"])
+        for r in parse_sitemap_xml(df).collect()
+    )
+    assert got == [
+        ("m.example", "https://m.example/a", "2024-03-01", 0.9),
+        ("m.example", "https://m.example/b", None, 0.5),
+    ]
+    # twin regex (the seqcrawler.load_sitemaps pattern) sees the same blocks
+    assert len(_re.findall(r"(?s)<url>(.*?)</url>", body)) == 2
+
+
+def test_blocklist_empty_banned_terms_degrades_to_host_gate(spark):
+    """ADVICE r05 #5: an empty banned_terms list must mean score 0.0
+    (host-blocklist-only gating), not a None column."""
+    from storm_focused_crawler_spark.operators.curation import url_blocklist_filter
+
+    u = spark.createDataFrame(
+        [(1, "https://bad.example/x", "bad.example"),
+         (2, "https://ok.example/y", "ok.example")],
+        "doc_id long, url string, host string",
+    )
+    got = {
+        r["doc_id"]: (r["host_blocked"], r["badword_score"], r["keep"])
+        for r in url_blocklist_filter(u, ["bad.example"], []).collect()
+    }
+    assert got == {1: (True, 0.0, False), 2: (False, 0.0, True)}
